@@ -1,0 +1,22 @@
+"""clive2-tpu: a TPU-native bidirectional path tracer.
+
+Ground-up JAX/XLA rebuild of pmclaugh/Clive2 (a Metal BDPT renderer):
+Veach-style bidirectional path tracing with balance-heuristic MIS, GGX
+microfacet reflection + transmission, SAH BVH with threaded stackless
+traversal, physical camera-plane model, 3x3 Gaussian reconstruction and
+Reinhard tone mapping — expressed as batched SoA wavefront ops under one
+jitted program per sample, sharded over device meshes for multi-chip.
+"""
+
+from .camera import Camera, tone_map  # noqa: F401
+from .materials import MaterialTable, default_materials  # noqa: F401
+from .renderer import Renderer  # noqa: F401
+from .scene import (  # noqa: F401
+    Scene,
+    create_scene,
+    create_scene_from_preset,
+    create_scene_from_preset_with_params,
+    scene_presets,
+)
+
+__version__ = "0.1.0"

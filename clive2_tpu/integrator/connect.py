@@ -1,0 +1,317 @@
+"""BDPT vertex connection with balance-heuristic MIS.
+
+TPU-native replacement for the reference ``connect_paths`` kernel
+(/root/reference/src/trace.metal:620-869) plus the entire light-splat
+machinery (``light_sort`` :872-934, host ``light_bins`` renderer.py:97-111,
+``light_image_gather`` :937-964): splats become one deterministic
+scatter-add, eliminating the 276 bitonic-sort launches and the mid-frame
+device->host round trip.
+
+Structure:
+  * every (t, s) strategy that needs a ray cast (t=1 camera-plane
+    projections, general-join visibility tests) is evaluated in ONE
+    ``lax.map`` over the strategy list, so the BVH traversal while-loop is
+    compiled once and runs as a sequential pipeline of full-wavefront
+    traversals;
+  * the per-strategy MIS chains (p_ratios / p_values sweep,
+    trace.metal:708-776) are unrolled per static (t, s) as masked
+    vectorized ops over the whole wavefront.
+
+Deliberate deviations from reference quirks (SURVEY §"quirks"):
+  * the out-of-range p_ratios read at trace.metal:746-749 writes only a
+    dead slot; we simply don't compute it;
+  * t=1 splat pixels that round outside the image are dropped instead of
+    wrapping into neighbor rows (trace.metal:602-605 does not clamp).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import DELTA, MAX_BOUNCES
+from ..ops.intersect import intersect_bvh
+from ..ops.sampling import PI, dot, normalize
+
+
+def _take_d(tree, d):
+    """Index vertex d (possibly traced) out of [N, D, ...] path arrays."""
+    return jax.tree.map(lambda a: jnp.take(a, d, axis=1), tree)
+
+
+def _vstatic(tree, d: int):
+    return jax.tree.map(lambda a: a[:, d], tree)
+
+
+def _geom(a, b):
+    """cosine_geometry_term (trace.metal:539-544): uses each vertex's
+    *stored* direction, exactly as the reference does."""
+    delta = b["origin"] - a["origin"]
+    dist2 = jnp.maximum(dot(delta, delta), 1e-30)
+    cos_a = jnp.abs(dot(a["direction"], a["normal"]))
+    cos_b = jnp.abs(dot(b["direction"], b["normal"]))
+    return cos_a * cos_b / dist2
+
+
+def connection_pairs(max_bounces: int = MAX_BOUNCES):
+    """(t, s) strategies that require a ray cast, in lax.map order."""
+    pairs = []
+    for t in range(1, max_bounces + 1):
+        for s in range(1, max_bounces + 1):
+            if t + s < 2:
+                continue
+            pairs.append((t, s))
+    return pairs
+
+
+def connect_paths(cam_path, light_path, scene, width: int, height: int,
+                  max_bounces: int = MAX_BOUNCES):
+    """All-strategies BDPT connection for a wavefront of path pairs.
+
+    cam_path / light_path: outputs of trace.trace_subpaths
+    Returns dict:
+      contribution [N, 3]        (t != 1 strategies, per camera pixel)
+      contrib_weight_sum [N]
+      light_image [H, W, 3]      (t == 1 splats, scatter-added)
+      light_weight_image [H, W]
+    """
+    CV, cam_valid, cam_len = cam_path["vertices"], cam_path["valid"], cam_path["length"]
+    LV, light_len = light_path["vertices"], light_path["length"]
+    mat = scene["mat"]
+    tri = scene["tri"]
+    cam = scene["camera"]
+    bvh_arrays = scene["bvh"]
+
+    n = cam_len.shape[0]
+    pairs = connection_pairs(max_bounces)
+    pair_arr = jnp.asarray(pairs, dtype=jnp.int32)
+
+    # ---- stage A: all ray casts in one mapped traversal --------------------
+    def cast(pair):
+        t, s = pair[0], pair[1]
+        lv = _take_d(LV, s - 1)
+        cv = _take_d(CV, t - 1)
+        lens_ok = (t <= cam_len) & (s <= light_len)
+        l_spec = mat["type"][lv["material"]] > 0
+        c_spec = mat["type"][cv["material"]] > 0
+
+        proj_dir = normalize(cam["focal_point"][None, :] - lv["origin"])
+        t1_ok = ~l_spec & (dot(proj_dir, cam["direction"][None, :]) <= 0.0)
+
+        dir_l_to_c = normalize(cv["origin"] - lv["origin"])
+        gen_ok = (
+            ~l_spec
+            & ~c_spec
+            & (dot(lv["normal"], dir_l_to_c) >= DELTA)
+            & (dot(cv["normal"], -dir_l_to_c) >= DELTA)
+        )
+
+        is_t1 = t == 1
+        active = lens_ok & jnp.where(is_t1, t1_ok, gen_ok)
+        direction = jnp.where(is_t1, proj_dir, dir_l_to_c)
+        hit_i, hit_t, _, _ = intersect_bvh(
+            lv["origin"], direction, bvh_arrays, active=active
+        )
+        return hit_i, hit_t, active
+
+    cast_tri, cast_t, cast_active = jax.lax.map(cast, pair_arr)
+    pair_index = {ts: i for i, ts in enumerate(pairs)}
+
+    # ---- stage B: per-strategy MIS + contributions (static unroll) ---------
+    contribution = jnp.zeros((n, 3), dtype=jnp.float32)
+    contrib_weight = jnp.zeros((n,), dtype=jnp.float32)
+    flat_light = jnp.zeros((width * height, 3), dtype=jnp.float32)
+    flat_light_w = jnp.zeros((width * height,), dtype=jnp.float32)
+
+    for t in range(1, max_bounces + 1):
+        for s in range(0, max_bounces + 1):
+            if t + s < 2:
+                continue
+            if t == 1:
+                res = _strategy_t1(
+                    t, s, CV, LV, cam_len, light_len, scene, width, height,
+                    cast_tri[pair_index[(t, s)]],
+                    cast_t[pair_index[(t, s)]],
+                    cast_active[pair_index[(t, s)]],
+                )
+                pix, val, wgt = res
+                flat_light = flat_light.at[pix].add(val, mode="drop")
+                flat_light_w = flat_light_w.at[pix].add(wgt, mode="drop")
+            else:
+                if s == 0:
+                    valid = (t <= cam_len)
+                    cv = _vstatic(CV, t - 1)
+                    valid &= cv["hit_light"] >= 0
+                    lv = None
+                    g = jnp.ones((n,), dtype=jnp.float32)
+                    emission = mat["emission"][cv["material"]]
+                    color = _vstatic(CV, t - 2)["color"] * emission
+                else:
+                    idx = pair_index[(t, s)]
+                    cv = _vstatic(CV, t - 1)
+                    lv = _vstatic(LV, s - 1)
+                    visible = (
+                        (cast_tri[idx] >= 0)
+                        & (cast_tri[idx] != lv["triangle"])
+                        & (cast_tri[idx] == cv["triangle"])
+                    )
+                    valid = cast_active[idx] & visible
+                    dir_l_to_c = normalize(cv["origin"] - lv["origin"])
+                    new_camera_f = jnp.abs(dot(-dir_l_to_c, cv["normal"])) / PI
+                    camera_color = (
+                        _vstatic(CV, t - 2)["color"]
+                        * new_camera_f[:, None]
+                        * mat["color"][cv["material"]]
+                    )
+                    if s == 1:
+                        light_color = mat["emission"][lv["material"]]
+                    else:
+                        new_light_f = jnp.abs(dot(dir_l_to_c, lv["normal"])) / PI
+                        light_color = (
+                            _vstatic(LV, s - 2)["color"]
+                            * new_light_f[:, None]
+                            * mat["color"][lv["material"]]
+                        )
+                    color = camera_color * light_color
+                    g = _geom(cv, lv)
+
+                w, p_s, ok = _mis_weight(t, s, CV, LV, cv, lv, mat, None)
+                valid &= ok
+                contrib = (w * g / jnp.maximum(p_s, 1e-38))[:, None] * color
+                contribution += jnp.where(valid[:, None], contrib, 0.0)
+                contrib_weight += jnp.where(valid, w, 0.0)
+
+    return dict(
+        contribution=contribution,
+        contrib_weight_sum=contrib_weight,
+        light_image=flat_light.reshape(height, width, 3),
+        light_weight_image=flat_light_w.reshape(height, width),
+    )
+
+
+def _strategy_t1(t, s, CV, LV, cam_len, light_len, scene, width, height,
+                 hit_i, hit_t, active):
+    """t=1: project light vertex s-1 onto the physical camera plane
+    (world_ray_to_camera_ray, trace.metal:569-617) and emit a splat."""
+    mat = scene["mat"]
+    tri = scene["tri"]
+    cam = scene["camera"]
+    n = cam_len.shape[0]
+
+    lv = _vstatic(LV, s - 1)
+    proj_dir = normalize(cam["focal_point"][None, :] - lv["origin"])
+
+    safe_i = jnp.maximum(hit_i, 0)
+    is_cam_tri = (hit_i >= 0) & (tri["is_camera"][safe_i] != 0)
+    camera_point = lv["origin"] + hit_t[:, None] * proj_dir
+
+    rel = camera_point - cam["center"][None, :]
+    x = dot(rel, cam["dx"][None, :])
+    y = dot(rel, cam["dy"][None, :])
+    px = jnp.round((x / cam["phys_width"] + 0.5) * width).astype(jnp.int32)
+    py = jnp.round((y / cam["phys_height"] + 0.5) * height).astype(jnp.int32)
+    pix_ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    pixel = py * width + px
+
+    # synthetic camera vertex: overrides on a copy of camera vertex 0
+    # (the Metal kernel writes into camera_path.rays[0]; unassigned fields —
+    # c/l_importance — keep the original vertex-0 values)
+    base = _vstatic(CV, 0)
+    cv = dict(base)
+    cv["origin"] = camera_point
+    cv["direction"] = normalize(cam["focal_point"][None, :] - camera_point)
+    cv["normal"] = jnp.broadcast_to(cam["direction"], (n, 3))
+    cv["material"] = jnp.full((n,), 7, dtype=jnp.int32)
+    cv["color"] = jnp.ones((n, 3), dtype=jnp.float32)
+    cv["triangle"] = safe_i.astype(jnp.int32)
+    cv["tot_importance"] = jnp.ones((n,), dtype=jnp.float32)
+
+    valid = active & is_cam_tri & pix_ok
+
+    w, p_s, ok = _mis_weight(t, s, CV, LV, cv, lv, mat, cv_synthetic=cv)
+    valid &= ok
+
+    dir_l_to_c = normalize(camera_point - lv["origin"])
+    if s > 1:
+        new_light_f = jnp.abs(dot(dir_l_to_c, lv["normal"])) / PI
+    else:
+        new_light_f = jnp.ones((n,), dtype=jnp.float32)
+    g = _geom(lv, cv)
+
+    prior = _vstatic(LV, max(0, s - 2))
+    value = (
+        (w * new_light_f * g / jnp.maximum(p_s, 1e-38))[:, None]
+        * prior["color"]
+        * mat["color"][lv["material"]]
+    )
+    pix_out = jnp.where(valid, pixel, width * height)  # OOB -> dropped
+    return pix_out, jnp.where(valid[:, None], value, 0.0), jnp.where(valid, w, 0.0)
+
+
+def _mis_weight(t, s, CV, LV, cv, lv, mat, cv_synthetic=None):
+    """Balance-heuristic weight for strategy (t, s)
+    (trace.metal:693-776).
+
+    Path vertices are indexed from the light end: x_i = light[i] for i < s,
+    x_i = camera[t+s-1-i] otherwise; for t == 1 the camera vertex is the
+    synthetic projected vertex.  Uses each vertex's stored dual importances
+    (including the reference's acknowledged stale values for the chain
+    endpoints — trace.metal:696-706 keeps them for speed, and so do we, so
+    images match).
+    Returns (w, p_s, ok).
+    """
+    k = s + t
+
+    def vertex(i):
+        if i < s:
+            return _vstatic(LV, i)
+        j = t + s - 1 - i
+        if t == 1 and j == 0:
+            return cv_synthetic if cv_synthetic is not None else cv
+        return _vstatic(CV, j)
+
+    vx = [vertex(i) for i in range(k)]
+
+    ratios = []
+    for i in range(k):
+        if i == 0:
+            a, b = vx[0], vx[1]
+            num = a["l_importance"]
+            den = a["c_importance"] * _geom(a, b)
+        elif i == k - 1:
+            a, b = vx[k - 1], vx[k - 2]
+            num = a["l_importance"] * _geom(a, b)
+            den = a["c_importance"]
+        else:
+            a, b, c = vx[i - 1], vx[i], vx[i + 1]
+            num = b["l_importance"] * _geom(a, b)
+            den = b["c_importance"] * _geom(b, c)
+        ratios.append(num / jnp.where(jnp.abs(den) > 1e-38, den, 1e-38))
+
+    light_tot = jnp.ones_like(cv["tot_importance"]) if s == 0 else lv["tot_importance"]
+    p_s = cv["tot_importance"] * light_tot
+
+    p_values = [None] * (k + 1)
+    p_values[s] = p_s
+    for i in range(s, k):
+        p_values[i + 1] = p_values[i] * ratios[i]
+    for i in range(s - 1, -1, -1):
+        p_values[i] = p_values[i + 1] / jnp.where(
+            jnp.abs(ratios[i]) > 1e-38, ratios[i], 1e-38
+        )
+
+    # specular vertices cannot be connection endpoints: zero their
+    # hypothetical strategies (trace.metal:759-764)
+    spec = [mat["type"][v["material"]] > 0 for v in vx]
+    for i in range(k):
+        p_values[i] = jnp.where(spec[i], 0.0, p_values[i])
+        p_values[i + 1] = jnp.where(spec[i], 0.0, p_values[i + 1])
+    p_values[k] = jnp.zeros_like(p_s)  # trace.metal:766
+
+    total = p_values[0]
+    for i in range(1, k + 1):
+        total = total + p_values[i]
+
+    ok = (p_values[s] > 0.0) & (total > 0.0)
+    w = jnp.where(ok, p_values[s] / jnp.where(total > 0.0, total, 1.0), 0.0)
+    return w, p_s, ok

@@ -1,0 +1,124 @@
+"""Per-sample render pipeline: the jit-compiled heart of the framework.
+
+Replaces the reference's 8-stage host-driven kernel sequence
+(/root/reference/src/renderer.py:280-291) with ONE fused jitted program:
+ray gen -> two wavefront subpath traces -> BDPT connect (incl. splat
+scatter) -> 3x3 filter finalize.  There are no mid-sample host round trips
+(the reference reads back splat indices every sample, renderer.py:97-111).
+
+Multi-chip: `sharded_render_sample` annotates the pixel wavefront with a
+NamedSharding over a device mesh and lets GSPMD partition the whole
+pipeline; the BVH/material tables replicate, the splat scatter and filter
+halos become XLA collectives.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..constants import MAX_BOUNCES
+from ..ops.filters import filter_weights, finalize_samples
+from .connect import connect_paths
+from .trace import (
+    generate_camera_rays,
+    generate_light_rays,
+    trace_subpaths,
+    unidirectional_image,
+)
+
+
+def render_sample(key, scene, width: int, height: int,
+                  max_bounces: int = MAX_BOUNCES, mesh=None):
+    """One full BDPT sample for every pixel.
+
+    Returns dict(image [H, W, 3], weight [H, W], unidirectional [H, W, 3]).
+    ``image``/``weight`` follow the reference accumulation contract:
+    display = sum(image) / sum(weight) over samples (renderer.py:294-300).
+    """
+    cam = scene["camera"]
+    k_cam, k_light, k_tc, k_tl = jax.random.split(key, 4)
+
+    cam_rays, pixel_idx = generate_camera_rays(k_cam, cam, width, height)
+    light_rays = generate_light_rays(
+        k_light, scene["lights"], scene["mat"], width * height
+    )
+
+    if mesh is not None:
+        spec = NamedSharding(mesh, P("tiles"))
+        constrain = lambda tree: jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P(*(("tiles",) + (None,) * (a.ndim - 1))))
+            ),
+            tree,
+        )
+        cam_rays = constrain(cam_rays)
+        light_rays = constrain(light_rays)
+
+    sensor_pos = cam_rays["origin"]
+
+    cam_path = trace_subpaths(k_tc, cam_rays, scene, from_camera=True,
+                              max_bounces=max_bounces)
+    light_path = trace_subpaths(k_tl, light_rays, scene, from_camera=False,
+                                max_bounces=max_bounces)
+
+    uni = unidirectional_image(cam_path)
+
+    conn = connect_paths(cam_path, light_path, scene, width, height,
+                         max_bounces=max_bounces)
+
+    weights = filter_weights(sensor_pos, pixel_idx, cam, width, height)
+    image, wimage = finalize_samples(
+        conn["contribution"], weights, conn["contrib_weight_sum"], width, height
+    )
+
+    total_image = image + conn["light_image"]
+    total_weight = wimage + conn["light_weight_image"]
+    return dict(
+        image=jnp.nan_to_num(total_image, posinf=0.0, neginf=0.0),
+        weight=total_weight,
+        unidirectional=jnp.nan_to_num(
+            uni.reshape(height, width, 3), posinf=0.0, neginf=0.0
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "max_bounces"))
+def render_sample_jit(key, scene, width: int, height: int,
+                      max_bounces: int = MAX_BOUNCES):
+    return render_sample(key, scene, width, height, max_bounces)
+
+
+def make_sharded_render(mesh, width: int, height: int,
+                        max_bounces: int = MAX_BOUNCES):
+    """jit-compiled render step sharded over the mesh's "tiles" axis."""
+
+    @jax.jit
+    def step(key, scene):
+        return render_sample(key, scene, width, height, max_bounces, mesh=mesh)
+
+    return step
+
+
+def accumulate(state, sample):
+    """Device-side running accumulation (replaces the reference's per-sample
+    host numpy accumulation, renderer.py:253-278)."""
+    return dict(
+        summed_image=state["summed_image"] + sample["image"],
+        summed_weight=state["summed_weight"] + sample["weight"],
+        summed_unidirectional=state["summed_unidirectional"]
+        + sample["unidirectional"],
+        n_samples=state["n_samples"] + 1,
+    )
+
+
+def init_accumulators(width: int, height: int):
+    return dict(
+        summed_image=jnp.zeros((height, width, 3), dtype=jnp.float32),
+        summed_weight=jnp.zeros((height, width), dtype=jnp.float32),
+        summed_unidirectional=jnp.zeros((height, width, 3), dtype=jnp.float32),
+        n_samples=jnp.zeros((), dtype=jnp.int32),
+    )

@@ -1,0 +1,319 @@
+"""Subpath generation: ray emission + depth-major wavefront tracing.
+
+TPU-native replacement for the reference megakernel ``generate_paths``
+(/root/reference/src/trace.metal:381-532) and the ray-emission kernels
+(:1020-1067 camera, :1070-1124 light).  The megakernel's per-thread
+6-bounce loop becomes a ``lax.scan`` over bounce depth: at each depth the
+whole wavefront traverses the BVH, shades, and bounces in lockstep, with
+dead rays masked.  Paths are SoA pytrees of [N, D, ...] arrays instead of
+1,040-byte AoS ``Path`` structs (struct_types.py:24-31).
+
+BDPT bookkeeping contract (matches trace.metal:499-507):
+  vertex k's  c_importance = pdf of sampling the edge (k-1 -> k) at vertex
+              k-1 when walking FROM the camera
+  vertex k's  l_importance = pdf of sampling the edge (k+1 -> k) at vertex
+              k+1 when walking FROM the light
+  tot_importance = running product of the forward importance along the
+              subpath's own travel direction
+  color      = path throughput after the bounce at vertex k (BRDF * prior,
+              material color only on external-reflection/egress events,
+              trace.metal:489-494)
+
+RNG: counter-based ``jax.random`` keys folded per (purpose, depth) replace
+the reference's persistent per-pixel xorshift buffer (trace.metal:87-93,
+renderer.py:54) — reproducible and shard-friendly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import DELTA, MAX_BOUNCES
+from ..ops import bsdf
+from ..ops.intersect import intersect_bvh
+from ..ops.sampling import (
+    PI,
+    dot,
+    ggx_sample,
+    normalize,
+    orthonormal,
+    random_hemisphere_uniform,
+    sample_triangle_uniform,
+)
+
+
+def _take(tree, idx, axis=0):
+    return jax.tree.map(lambda a: jnp.take(a, idx, axis=axis), tree)
+
+
+def generate_camera_rays(key, cam, width: int, height: int):
+    """One jittered primary ray per pixel (trace.metal:1020-1067).
+
+    Rays start on the physical sensor plane and aim at the focal point.
+    Returns (ray pytree [N], pixel_idx [N]).
+    """
+    n = width * height
+    pixel_idx = jnp.arange(n, dtype=jnp.int32)
+    off = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
+
+    px = (pixel_idx % width).astype(jnp.float32)
+    py = (pixel_idx // width).astype(jnp.float32)
+    xn = (px + off[:, 0] - 0.5 * width) / width
+    yn = (py + off[:, 1] - 0.5 * height) / height
+
+    origin = (
+        cam["center"][None, :]
+        + (xn * cam["phys_width"])[:, None] * cam["dx"][None, :]
+        + (yn * cam["phys_height"])[:, None] * cam["dy"][None, :]
+    )
+    direction = normalize(cam["focal_point"][None, :] - origin)
+    c_imp = 1.0 / (cam["phys_width"] * cam["phys_height"])
+
+    rays = dict(
+        origin=origin,
+        direction=direction,
+        normal=jnp.broadcast_to(cam["direction"], origin.shape),
+        color=jnp.ones_like(origin),
+        c_importance=jnp.full((n,), c_imp, dtype=jnp.float32),
+        l_importance=jnp.ones((n,), dtype=jnp.float32),  # filled during trace
+        tot_importance=jnp.full((n,), c_imp, dtype=jnp.float32),
+        material=jnp.full((n,), 7, dtype=jnp.int32),
+        triangle=jnp.full((n,), -1, dtype=jnp.int32),
+        hit_light=jnp.full((n,), -1, dtype=jnp.int32),
+        hit_camera=jnp.full((n,), -1, dtype=jnp.int32),
+    )
+    return rays, pixel_idx
+
+
+def generate_light_rays(key, lights, materials, n: int):
+    """Uniform light-surface emission rays (trace.metal:1070-1124).
+
+    Picks a light triangle uniformly, a uniform barycentric point on it,
+    and a uniform-hemisphere direction; l_importance = 1/(count * area).
+    """
+    k_pick, k_bary, k_dir = jax.random.split(key, 3)
+    count = lights["v0"].shape[0]
+    # matches (int)(rand * count) in the reference
+    pick = jnp.minimum(
+        (jax.random.uniform(k_pick, (n,)) * count).astype(jnp.int32), count - 1
+    )
+    lv = _take(lights, pick)
+
+    bary = jax.random.uniform(k_bary, (n, 2), dtype=jnp.float32)
+    normal = lv["normal"]
+    origin = sample_triangle_uniform(lv["v0"], lv["v1"], lv["v2"], bary)
+    origin = origin + DELTA * normal
+
+    x, y = orthonormal(normal)
+    rolls = jax.random.uniform(k_dir, (n, 2), dtype=jnp.float32)
+    direction = random_hemisphere_uniform(x, y, normal, rolls)
+
+    l_imp = 1.0 / (count * lv["area"])
+    emission = materials["emission"][lv["material"]]
+
+    rays = dict(
+        origin=origin,
+        direction=direction,
+        normal=normal,
+        color=emission,
+        c_importance=jnp.ones((n,), dtype=jnp.float32),  # filled during trace
+        l_importance=l_imp.astype(jnp.float32),
+        tot_importance=l_imp.astype(jnp.float32),
+        material=lv["material"].astype(jnp.int32),
+        triangle=lv["tri_index"].astype(jnp.int32),
+        hit_light=jnp.full((n,), -1, dtype=jnp.int32),
+        hit_camera=jnp.full((n,), -1, dtype=jnp.int32),
+    )
+    return rays
+
+
+def _select_bounce(mat_type, f_lottery, fres, diffuse, reflect, transmit):
+    """Material dispatch (trace.metal:474-487) as masked selects.
+
+    type 0: diffuse; type 1: Fresnel-weighted reflect|transmit;
+    type 2: Fresnel-weighted reflect|diffuse; else: reflect.
+    """
+    take_reflect = f_lottery <= fres
+    picks = []
+    for branch in range(4):  # wo, f, c_p, l_p
+        d, r, t = diffuse[branch], reflect[branch], transmit[branch]
+        if branch == 0:
+            expand = lambda c: c[:, None]
+        else:
+            expand = lambda c: c
+        v = jnp.where(
+            expand(mat_type == 0),
+            d,
+            jnp.where(
+                expand(mat_type == 1),
+                jnp.where(expand(take_reflect), r, t),
+                jnp.where(
+                    expand(mat_type == 2),
+                    jnp.where(expand(take_reflect), r, d),
+                    r,
+                ),
+            ),
+        )
+        picks.append(v)
+    return tuple(picks)
+
+
+def trace_subpaths(key, rays, pytree_scene, from_camera: bool,
+                   max_bounces: int = MAX_BOUNCES):
+    """Trace a wavefront of subpaths to ``max_bounces`` stored vertices.
+
+    Returns a path pytree:
+      vertices: dict of [N, D, ...] arrays (fields as in generate_* rays)
+      valid:    [N, D] bool — vertex d stored (reference path.length = count)
+      length:   [N] i32
+
+    A vertex is stored only when its full bounce iteration completed,
+    mirroring the reference's break-before-store semantics
+    (trace.metal:407-517).
+    """
+    tri = pytree_scene["tri"]
+    mat = pytree_scene["mat"]
+    bvh_arrays = pytree_scene["bvh"]
+
+    n = rays["origin"].shape[0]
+    fwd_pending0 = (
+        rays["c_importance"] if from_camera
+        else jnp.full((n,), 1.0 / (2.0 * PI), dtype=jnp.float32)
+    )
+
+    def step(carry, depth):
+        cur, fwd_pending, active = carry
+
+        hit_i, hit_t, hit_u, hit_v = intersect_bvh(
+            cur["origin"], cur["direction"], bvh_arrays, active=active
+        )
+        hit_ok = hit_i >= 0
+        safe_i = jnp.maximum(hit_i, 0)
+
+        face_n = tri["face_normal"][safe_i]
+        n0 = tri["n0"][safe_i]
+        n1 = tri["n1"][safe_i]
+        n2 = tri["n2"][safe_i]
+        tri_mat = tri["material"][safe_i]
+        is_light = tri["is_light"][safe_i]
+        is_camera = tri["is_camera"][safe_i]
+
+        alpha = mat["alpha"][tri_mat]
+        ior = mat["ior"][tri_mat]
+        mat_type = mat["type"][tri_mat]
+        mat_color = mat["color"][tri_mat]
+
+        d = cur["direction"]
+        cos_f = dot(-d, face_n)
+        front = cos_f > 0.0
+        degenerate = cos_f == 0.0
+
+        sampled_n = bsdf.interpolate_normal(n0, n1, n2, hit_u, hit_v)
+        nrm = jnp.where(front[:, None], sampled_n, -sampled_n)
+        ni = jnp.where(front, 1.0, ior)
+        no = jnp.where(front, ior, 1.0)
+
+        new_origin = cur["origin"] + d * hit_t[:, None]
+        new_hit_light = jnp.where(
+            (is_light != 0) & (dot(d, face_n) < 0.0), hit_i, -1
+        ).astype(jnp.int32)
+        new_hit_camera = jnp.where(is_camera != 0, hit_i, -1).astype(jnp.int32)
+
+        wi = -d
+        k_depth = jax.random.fold_in(key, depth)
+        ka, kb, kc = jax.random.split(k_depth, 3)
+        roll_a = jax.random.uniform(ka, (n, 2), dtype=jnp.float32)
+        roll_b = jax.random.uniform(kb, (n, 2), dtype=jnp.float32)
+        # The reference reuses roll_b.x for the Fresnel lottery
+        # (trace.metal:477-485), correlating it with the diffuse sample; we
+        # draw an independent uniform (statistically equivalent estimator).
+        roll_c = jax.random.uniform(kc, (n,), dtype=jnp.float32)
+
+        m = ggx_sample(nrm, roll_a, alpha)
+        ok_m = (dot(wi, m) >= 0.0) & (dot(m, nrm) >= 0.0)
+        fres = bsdf.fresnel(wi, m, ni, no)
+
+        diffuse = bsdf.diffuse_bounce(wi, nrm, from_camera, roll_b)
+        reflect = bsdf.reflect_bounce(wi, nrm, m, ni, no, alpha, from_camera)
+        transmit = bsdf.transmit_bounce(wi, nrm, m, ni, no, alpha, from_camera)
+        wo, f, c_p, l_p = _select_bounce(
+            mat_type, roll_c, fres, diffuse, reflect, transmit
+        )
+
+        # throughput color rules (trace.metal:489-494)
+        wi_fn = dot(wi, face_n)
+        wo_fn = dot(wo, face_n)
+        apply_color = ((wi_fn > 0.0) & (wo_fn > 0.0)) | ((wi_fn < 0.0) & (wo_fn > 0.0))
+        new_color = jnp.where(
+            apply_color[:, None],
+            f[:, None] * cur["color"] * mat_color,
+            f[:, None] * cur["color"],
+        )
+
+        new_fwd = fwd_pending
+        new_tot = cur["tot_importance"] * new_fwd
+
+        valid = active & hit_ok & ~degenerate & ok_m & (f != 0.0)
+
+        # finalize and emit the CURRENT vertex (reference stores path.rays[i]
+        # only after the bounce at the new hit succeeded)
+        emit = dict(cur)
+        if from_camera:
+            emit["l_importance"] = l_p
+            next_pending = c_p
+        else:
+            emit["c_importance"] = c_p
+            next_pending = l_p
+
+        new_cur = dict(
+            origin=new_origin,
+            direction=wo,
+            normal=nrm,
+            color=new_color,
+            c_importance=new_fwd if from_camera else cur["c_importance"] * 0 + 1.0,
+            l_importance=new_fwd if not from_camera else cur["l_importance"] * 0 + 1.0,
+            tot_importance=new_tot,
+            material=tri_mat.astype(jnp.int32),
+            triangle=hit_i.astype(jnp.int32),
+            hit_light=new_hit_light,
+            hit_camera=new_hit_camera,
+        )
+        # keep dead lanes frozen (values are masked by `valid` downstream)
+        new_cur = jax.tree.map(
+            lambda new, old: jnp.where(
+                valid.reshape((n,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            new_cur,
+            cur,
+        )
+        new_pending = jnp.where(valid, next_pending, fwd_pending)
+
+        return (new_cur, new_pending, valid), (emit, valid)
+
+    cur0 = dict(rays)
+    carry0 = (cur0, fwd_pending0, jnp.ones(n, dtype=bool))
+    _, (verts, valid) = jax.lax.scan(
+        step, carry0, jnp.arange(max_bounces), length=max_bounces
+    )
+    # scan stacks along axis 0 -> [D, N, ...]; transpose to [N, D, ...]
+    verts = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), verts)
+    valid = jnp.moveaxis(valid, 0, 1)
+    length = jnp.sum(valid.astype(jnp.int32), axis=1)
+    return dict(vertices=verts, valid=valid, length=length)
+
+
+def unidirectional_image(path):
+    """s=0-style plain path-traced estimate from a camera path
+    (trace.metal:523-528): first stored vertex that hit a light contributes
+    prior color / tot_importance."""
+    hit_light = path["vertices"]["hit_light"]
+    valid = path["valid"]
+    mask = valid & (hit_light >= 0)
+    has = jnp.any(mask, axis=1)
+    first = jnp.argmax(mask, axis=1)
+    rows = jnp.arange(hit_light.shape[0])
+    prior_color = path["vertices"]["color"][rows, jnp.maximum(first - 1, 0)]
+    tot = path["vertices"]["tot_importance"][rows, first]
+    out = prior_color / jnp.maximum(tot, 1e-30)[:, None]
+    return jnp.where(has[:, None], out, 0.0)

@@ -1,0 +1,94 @@
+"""3x3 Gaussian reconstruction filter.
+
+Rebuild of the reference's WeightAggregator machinery: per-sample filter
+weights (trace.metal:827-864) and the neighbor gather
+``adaptive_finalize_samples`` (trace.metal:981-1018).  The gather of
+transposed neighbor weights becomes nine shifted adds over the image —
+no scatter, no bins (the reference's "adaptive" bin indirection is identity
+in practice, renderer.py:92).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .sampling import dot
+
+
+def filter_weights(sensor_pos, pixel_idx, cam, width: int, height: int):
+    """Per-sample normalized 3x3 Gaussian weights (trace.metal:827-862).
+
+    sensor_pos: [N, 3] exact (jittered) sample position on the sensor plane
+    pixel_idx:  [N] i32 flat pixel index (y * width + x)
+    cam: camera pytree (camera.Camera.to_pytree())
+    Returns weights [N, 3, 3]; index [a, b] is the weight toward pixel
+    (x + a - 1, y + b - 1); out-of-bounds neighbors get 0; rows sum to 1.
+    """
+    pw = cam["phys_width"]
+    ph = cam["phys_height"]
+    pixel_w = pw / width
+    pixel_h = ph / height
+    sigma = 0.5 * jnp.sqrt(pixel_w * pixel_w + pixel_h * pixel_h)
+
+    px = pixel_idx % width
+    py = pixel_idx // width
+
+    offs = jnp.arange(-1, 2)
+    nx = px[:, None, None] + offs[None, :, None]     # [N, 3, 1]
+    ny = py[:, None, None] + offs[None, None, :]     # [N, 1, 3]
+    in_bounds = (nx >= 0) & (nx < width) & (ny >= 0) & (ny < height)
+
+    # pixel centers (trace.metal:551-562)
+    xn = (nx - 0.5 * width) / width
+    yn = (ny - 0.5 * height) / height
+    centers = (
+        cam["center"][None, None, None, :]
+        + (xn * pw)[..., None] * cam["dx"][None, None, None, :]
+        + (yn * ph)[..., None] * cam["dy"][None, None, None, :]
+    )  # [N, 3, 3, 3]
+
+    d = centers - sensor_pos[:, None, None, :]
+    dist2 = dot(d, d)
+    w = jnp.exp(-dist2 / (2.0 * sigma * sigma))
+    w = jnp.where(in_bounds, w, 0.0)
+    wsum = jnp.sum(w, axis=(1, 2), keepdims=True)
+    return jnp.where(wsum > 0.0, w / wsum, 0.0)
+
+
+def finalize_samples(contribution, weights, contrib_weight_sum,
+                     width: int, height: int):
+    """Filtered image + per-pixel weight sums (trace.metal:981-1018).
+
+    contribution:       [N, 3]  per-pixel-sample BDPT contribution
+    weights:            [N, 3, 3] from :func:`filter_weights`
+    contrib_weight_sum: [N]     sum of MIS weights accumulated per sample
+
+    Returns (image [H, W, 3], weight_image [H, W]).  Implements the
+    reference's transposed-weight neighbor gather
+    (``weights[1-i][1-j]``, trace.metal:1009) as nine shifted adds.
+    """
+    c = contribution.reshape(height, width, 3)
+    w = weights.reshape(height, width, 3, 3)
+    cws = contrib_weight_sum.reshape(height, width)
+
+    image = jnp.zeros((height, width, 3), dtype=c.dtype)
+    wimage = jnp.zeros((height, width), dtype=c.dtype)
+    for i in (-1, 0, 1):          # x offset
+        for j in (-1, 0, 1):      # y offset
+            # For output pixel p, the neighbor sample sits at q = p + (i, j)
+            # and contributes with its weight toward q + (-i, -j) = p, which
+            # is its weights[1 - i][1 - j].
+            wv = w[:, :, 1 - i, 1 - j]
+            val = wv[..., None] * c
+            wval = wv * cws
+            image = image + _shift2d(val, j, i)
+            wimage = wimage + _shift2d(wval, j, i)
+    return image, wimage
+
+
+def _shift2d(a, dy: int, dx: int):
+    """out[y, x] = a[y + dy, x + dx], zero-padded at the borders."""
+    h, wd = a.shape[0], a.shape[1]
+    pad = [(1, 1), (1, 1)] + [(0, 0)] * (a.ndim - 2)
+    ap = jnp.pad(a, pad)
+    return ap[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + wd]

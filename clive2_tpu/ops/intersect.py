@@ -1,0 +1,182 @@
+"""Ray-scene intersection: slab test, Möller–Trumbore, BVH traversal.
+
+TPU-native replacement for the reference's per-thread stack traversal
+(/root/reference/src/trace.metal:106-197).  Instead of a 64-deep stack per
+GPU thread (trace.metal:145), the flat BVH is threaded with DFS-preorder
+miss links (see bvh/build.py) so per-ray traversal state is a *single int
+node pointer*.  The whole wavefront then advances in lockstep inside one
+``lax.while_loop``; finished rays are masked.  All memory access is
+gather-based and fully vectorized over the ray batch.
+
+Node pointers only move forward (preorder), so the loop terminates in at
+most ``n_nodes`` iterations; in practice it exits when every ray's pointer
+reaches the sentinel ``n_nodes``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import DELTA
+
+INF = jnp.float32(jnp.inf)
+
+
+def safe_inverse(d):
+    """1/direction with zero components nudged to keep the slab test NaN-free."""
+    tiny = jnp.float32(1e-30)
+    return 1.0 / jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
+
+
+def ray_box_test(origin, inv_dir, bmin, bmax, t_max):
+    """Vectorized slab test with early-out vs current best t
+    (trace.metal:106-115).  origin/inv_dir [..., 3]; returns bool [...]."""
+    t0 = (bmin - origin) * inv_dir
+    t1 = (bmax - origin) * inv_dir
+    tmin = jnp.minimum(t0, t1)
+    tmax = jnp.maximum(t0, t1)
+    tmin_f = jnp.maximum(jnp.max(tmin, axis=-1), 0.0)
+    tmax_f = jnp.minimum(jnp.min(tmax, axis=-1), t_max)
+    return tmin_f <= tmax_f
+
+
+def moller_trumbore(origin, direction, v0, e1, e2):
+    """Batched Möller–Trumbore (trace.metal:117-142).
+
+    origin/direction [..., 3] broadcast against v0/e1/e2 [..., 3].
+    Returns (hit bool, t, u, v); misses get t = +inf.
+    """
+    h = jnp.cross(direction, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    f = 1.0 / a  # a == 0 -> inf -> comparisons below reject
+    s = origin - v0
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(direction * q, axis=-1)
+    t = f * jnp.sum(e2 * q, axis=-1)
+    hit = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) & (t > DELTA)
+    t = jnp.where(hit, t, INF)
+    return hit, t, u, v
+
+
+def intersect_brute(origin, direction, tri_vertices):
+    """Closest hit by testing every triangle; test oracle and tiny-scene path.
+
+    origin/direction [N, 3]; tri_vertices [T, 3, 3].
+    Returns (tri_idx [N] i32 (-1 miss), t, u, v).
+    """
+    v0 = tri_vertices[:, 0]
+    e1 = tri_vertices[:, 1] - tri_vertices[:, 0]
+    e2 = tri_vertices[:, 2] - tri_vertices[:, 0]
+    hit, t, u, v = moller_trumbore(
+        origin[:, None, :], direction[:, None, :], v0[None], e1[None], e2[None]
+    )  # [N, T]
+    best = jnp.argmin(t, axis=1)
+    n = jnp.arange(origin.shape[0])
+    best_t = t[n, best]
+    found = jnp.isfinite(best_t)
+    return (
+        jnp.where(found, best, -1).astype(jnp.int32),
+        best_t,
+        jnp.where(found, u[n, best], 0.0),
+        jnp.where(found, v[n, best], 0.0),
+    )
+
+
+def intersect_bvh(origin, direction, bvh_arrays, active=None):
+    """Closest-hit traversal of a miss-link threaded BVH.
+
+    origin/direction: [N, 3] f32
+    bvh_arrays: dict with
+        node_mins/node_maxes [n, 3], miss [n] i32, leaf_id [n] i32,
+        leaf_v0/leaf_e1/leaf_e2 [L, K, 3], leaf_tri [L, K] i32 (-1 padding)
+    active: optional [N] bool; inactive rays skip traversal entirely.
+
+    Returns (tri_idx [N] i32 (-1 = miss), t [N] (inf on miss), u, v).
+    """
+    node_mins = bvh_arrays["node_mins"]
+    node_maxes = bvh_arrays["node_maxes"]
+    miss = bvh_arrays["miss"]
+    leaf_id = bvh_arrays["leaf_id"]
+    leaf_v0 = bvh_arrays["leaf_v0"]
+    leaf_e1 = bvh_arrays["leaf_e1"]
+    leaf_e2 = bvh_arrays["leaf_e2"]
+    leaf_tri = bvh_arrays["leaf_tri"]
+
+    n_nodes = node_mins.shape[0]
+    n_rays = origin.shape[0]
+    inv_dir = safe_inverse(direction)
+
+    start = jnp.zeros(n_rays, dtype=jnp.int32)
+    if active is not None:
+        start = jnp.where(active, start, n_nodes)
+
+    def cond(state):
+        node, _, _, _, _ = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, best_t, best_i, best_u, best_v = state
+        alive = node < n_nodes
+        nd = jnp.minimum(node, n_nodes - 1)
+
+        bmin = node_mins[nd]
+        bmax = node_maxes[nd]
+        box_hit = ray_box_test(origin, inv_dir, bmin, bmax, best_t) & alive
+
+        lid = leaf_id[nd]
+        is_leaf = lid >= 0
+        do_leaf = box_hit & is_leaf
+        lsafe = jnp.maximum(lid, 0)
+
+        v0 = leaf_v0[lsafe]           # [N, K, 3]
+        e1 = leaf_e1[lsafe]
+        e2 = leaf_e2[lsafe]
+        ti = leaf_tri[lsafe]          # [N, K]
+
+        hit, t, u, v = moller_trumbore(
+            origin[:, None, :], direction[:, None, :], v0, e1, e2
+        )
+        valid = hit & (ti >= 0) & do_leaf[:, None]
+        t = jnp.where(valid, t, INF)
+        k = jnp.argmin(t, axis=1)
+        rows = jnp.arange(n_rays)
+        t_leaf = t[rows, k]
+        better = t_leaf < best_t
+        best_t = jnp.where(better, t_leaf, best_t)
+        best_i = jnp.where(better, ti[rows, k], best_i)
+        best_u = jnp.where(better, u[rows, k], best_u)
+        best_v = jnp.where(better, v[rows, k], best_v)
+
+        nxt = jnp.where(box_hit & ~is_leaf, nd + 1, miss[nd])
+        node = jnp.where(alive, nxt, node)
+        return node, best_t, best_i, best_u, best_v
+
+    init = (
+        start,
+        jnp.full(n_rays, INF),
+        jnp.full(n_rays, -1, dtype=jnp.int32),
+        jnp.zeros(n_rays, dtype=jnp.float32),
+        jnp.zeros(n_rays, dtype=jnp.float32),
+    )
+    _, best_t, best_i, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    return best_i, best_t, best_u, best_v
+
+
+def visibility_test(a_origin, a_triangle, b_origin, b_triangle, bvh_arrays,
+                    active=None):
+    """Mutual-visibility check between path vertices (trace.metal:178-197).
+
+    Casts from a toward b; visible iff the closest hit along the segment's
+    ray is exactly b's triangle (a self-hit on a's triangle counts as
+    blocked, as in the reference).
+    Returns bool [N].
+    """
+    direction = b_origin - a_origin
+    from .sampling import normalize
+
+    direction = normalize(direction)
+    tri, _, _, _ = intersect_bvh(a_origin, direction, bvh_arrays, active=active)
+    visible = (tri >= 0) & (tri != a_triangle) & (tri == b_triangle)
+    return visible

@@ -1,0 +1,236 @@
+"""Scene construction: geometry assembly, BVH build, device upload, presets.
+
+Rebuild of /root/reference/src/scene.py.  The same pipeline — camera plane +
+Cornell room always injected, optional mesh files merged, BVH built on host —
+but the output is a pytree of jnp arrays (no byte-matched struct buffers),
+and movie-style camera updates rebuild ONLY the camera/sensor state, not the
+BVH (the reference rebuilds everything per frame, movie.py:31-38).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .bvh import build_bvh
+from .bvh.build import leaf_tables
+from .camera import Camera
+from .constants import UNIT_Z, ZERO_VECTOR
+from .geometry import TriangleSoup, box_geometry, camera_geometry
+from .load import load_mesh_file
+from .materials import MaterialTable, default_materials
+
+RESOURCE_DIR = os.environ.get(
+    "CLIVE2_RESOURCES",
+    os.path.join(os.path.dirname(__file__), "..", "resources"),
+)
+
+
+@dataclasses.dataclass
+class Scene:
+    """Host handle + device pytree for one renderable scene."""
+
+    camera: Camera
+    pixel_width: int
+    pixel_height: int
+    data: Dict[str, Any]          # the jit-consumable pytree
+    n_triangles: int
+    n_nodes: int
+
+    def with_camera(self, camera: Camera) -> "Scene":
+        """Replace only camera + sensor-plane geometry (cheap per-frame
+        update for animation; the BVH is NOT rebuilt).
+
+        The sensor plane lives inside the BVH in the reference; here the
+        camera triangles are kept as a separate 2-triangle "camera BVH"
+        appendix... v1 keeps parity by full rebuild when geometry moved.
+        """
+        raise NotImplementedError(
+            "v1: use create_scene(); camera-only fast path lands with the "
+            "two-level BVH"
+        )
+
+
+def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
+                        camera: Camera) -> Dict[str, Any]:
+    bvh = build_bvh(soup)
+    leafs = leaf_tables(bvh, soup)
+
+    dev = lambda a: jnp.asarray(a)
+    tri = dict(
+        face_normal=dev(soup.face_normals),
+        n0=dev(soup.vertex_normals[:, 0]),
+        n1=dev(soup.vertex_normals[:, 1]),
+        n2=dev(soup.vertex_normals[:, 2]),
+        material=dev(soup.material.astype(np.int32)),
+        is_light=dev(soup.is_light.astype(np.int32)),
+        is_camera=dev(soup.is_camera.astype(np.int32)),
+    )
+    bvh_arrays = dict(
+        node_mins=dev(bvh.node_mins),
+        node_maxes=dev(bvh.node_maxes),
+        miss=dev(bvh.miss),
+        leaf_id=dev(bvh.leaf_id),
+        leaf_v0=dev(leafs["v0"]),
+        leaf_e1=dev(leafs["e1"]),
+        leaf_e2=dev(leafs["e2"]),
+        leaf_tri=dev(leafs["tri_index"]),
+    )
+    light_sel = np.nonzero(soup.is_light)[0]
+    areas = soup.surface_areas()[light_sel]
+    lights = dict(
+        v0=dev(soup.vertices[light_sel, 0]),
+        v1=dev(soup.vertices[light_sel, 1]),
+        v2=dev(soup.vertices[light_sel, 2]),
+        normal=dev(soup.face_normals[light_sel]),
+        area=dev(areas.astype(np.float32)),
+        tri_index=dev(light_sel.astype(np.int32)),
+        material=dev(soup.material[light_sel].astype(np.int32)),
+    )
+    return dict(
+        tri=tri,
+        bvh=bvh_arrays,
+        mat={k: dev(v) for k, v in materials.to_pytree().items()},
+        lights=lights,
+        camera=camera.to_pytree(),
+    ), bvh
+
+
+def create_scene(
+    pixel_width: int = 1280,
+    pixel_height: int = 720,
+    cam_center=ZERO_VECTOR,
+    cam_direction=UNIT_Z,
+    file_specs=None,
+    materials: Optional[MaterialTable] = None,
+    extra_geometry: Optional[TriangleSoup] = None,
+    box_kwargs: Optional[dict] = None,
+) -> Scene:
+    """Assemble a scene (reference scene.py:21-104).
+
+    Always injects the camera-plane triangles and the Cornell-style room
+    with its ceiling light, then merges any mesh files from ``file_specs``
+    (schema: file_path / material / scale / offset, scene.py:50-64).
+    """
+    camera = Camera(
+        center=np.asarray(cam_center, dtype=np.float64),
+        direction=np.asarray(cam_direction, dtype=np.float64),
+        pixel_width=pixel_width,
+        pixel_height=pixel_height,
+        phys_width=pixel_width / pixel_height,
+        phys_height=1.0,
+    )
+    soup = camera_geometry(camera) + box_geometry(**(box_kwargs or {}))
+    if extra_geometry is not None:
+        soup = soup + extra_geometry
+    for spec in file_specs or []:
+        soup = soup + load_mesh_file(
+            spec["file_path"],
+            material=spec.get("material", 0),
+            scale=spec.get("scale", 1.0),
+            offset=spec.get("offset", ZERO_VECTOR),
+        )
+
+    t0 = time.time()
+    data, bvh = _build_scene_pytree(soup, materials or default_materials(), camera)
+    build_s = time.time() - t0
+
+    scene = Scene(
+        camera=camera,
+        pixel_width=pixel_width,
+        pixel_height=pixel_height,
+        data=data,
+        n_triangles=len(soup),
+        n_nodes=bvh.n_nodes,
+    )
+    scene.build_seconds = build_s
+    return scene
+
+
+# --------------------------------------------------------------------------
+# presets (names and parameters match reference scene.py:149-206)
+# --------------------------------------------------------------------------
+
+def _res(name: str) -> str:
+    return os.path.join(RESOURCE_DIR, name)
+
+
+scene_presets: Dict[str, dict] = {
+    "empty": {
+        "cam_center": np.array([0, 1.5, 6]),
+        "cam_direction": np.array([0, 0, -1]),
+    },
+    "teapots": {
+        "cam_center": np.array([7, 0, 8]),
+        "cam_direction": np.array([-1, 0, -1]),
+        "file_specs": [
+            {"file_path": _res("teapot.obj"), "offset": np.array([0, 0, 2.5]),
+             "material": 5},
+            {"file_path": _res("teapot.obj"), "offset": np.array([0, 0, -2.5]),
+             "material": 0},
+        ],
+    },
+    "dragon": {
+        "cam_center": np.array([0, 1.5, 7.5]),
+        "cam_direction": np.array([0, 0, -1]),
+        "file_specs": [
+            {"file_path": _res("dragon_vrip_res3.ply"),
+             "offset": np.array([0, -4, 0]), "material": 5, "scale": 50},
+        ],
+    },
+    "medium-dragon": {
+        "cam_center": np.array([0, 1.5, 7.5]),
+        "cam_direction": np.array([0, 0, -1]),
+        "file_specs": [
+            {"file_path": _res("dragon_vrip_res2.ply"),
+             "offset": np.array([0, -4, 0]), "material": 5, "scale": 50},
+        ],
+    },
+    "big-dragon": {
+        "cam_center": np.array([0, 1.5, 7.5]),
+        "cam_direction": np.array([0, 0, -1]),
+        "file_specs": [
+            {"file_path": _res("dragon_vrip.ply"),
+             "offset": np.array([0, -4, 0]), "material": 5, "scale": 50},
+        ],
+    },
+}
+
+
+def create_scene_from_preset(preset_name: str, pixel_width=1280,
+                             pixel_height=720) -> Scene:
+    preset = scene_presets.get(preset_name)
+    if not preset:
+        raise ValueError(f"Preset '{preset_name}' not found.")
+    return create_scene(
+        pixel_width=pixel_width,
+        pixel_height=pixel_height,
+        cam_center=preset["cam_center"],
+        cam_direction=preset["cam_direction"],
+        file_specs=preset.get("file_specs"),
+    )
+
+
+def create_scene_from_preset_with_params(
+    preset_name: str, pixel_width=1280, pixel_height=720,
+    frame_idx: int = 0, total_frames: int = 1,
+) -> Scene:
+    """Orbit camera for animation frames (reference scene.py:223-245)."""
+    preset = scene_presets.get(preset_name)
+    if not preset:
+        raise ValueError(f"Preset '{preset_name}' not found.")
+    theta = 2 * np.pi * frame_idx / total_frames
+    cam_center = np.array([np.sin(theta) * 7.5, 1.5, np.cos(theta) * 7.5])
+    cam_direction = np.array([-np.sin(theta), 0, -np.cos(theta)])
+    return create_scene(
+        pixel_width=pixel_width,
+        pixel_height=pixel_height,
+        cam_center=cam_center,
+        cam_direction=cam_direction,
+        file_specs=preset.get("file_specs"),
+    )
