@@ -8,6 +8,24 @@ Reinhard tone mapping — expressed as batched SoA wavefront ops under one
 jitted program per sample, sharded over device meshes for multi-chip.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: first-compile of the fused render program
+# costs minutes on this deployment (remote Mosaic compile); the cache makes
+# every later process start warm.  Opt out with CLIVE2_JAX_CACHE=0.
+_cache = _os.environ.get(
+    "CLIVE2_JAX_CACHE",
+    _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
+)
+if _cache not in ("0", ""):
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
 from .camera import Camera, tone_map  # noqa: F401
 from .materials import MaterialTable, default_materials  # noqa: F401
 from .renderer import Renderer  # noqa: F401

@@ -1,0 +1,99 @@
+"""Still-render CLI: progressive BDPT render of a preset scene.
+
+Rebuild of /root/reference/src/render.py with the same flags
+(--samples/--width/--height/--save-on-quit/--scene, render.py:13-19) plus
+checkpointing flags (the reference has no sample-level resume, SURVEY §5).
+cv2 live preview is replaced by optional periodic PNG writes (no display in
+this deployment); output is a timestamped PNG like the reference
+(render.py:47-50).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from datetime import datetime
+
+import numpy as np
+
+
+def save_png(path: str, bgr_u8: np.ndarray):
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(bgr_u8[:, :, ::-1]).save(path)  # BGR -> RGB
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--samples", type=int, default=15)
+    parser.add_argument("--width", type=int, default=1280)
+    parser.add_argument("--height", type=int, default=720)
+    parser.add_argument("--save-on-quit", action="store_true")
+    parser.add_argument("--scene", type=str, default="teapots")
+    parser.add_argument("--output-dir", type=str, default="output/default")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--preview-every", type=int, default=0,
+                        help="write a preview PNG every N samples (0 = off)")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="checkpoint file; resumes if it exists")
+    parser.add_argument("--checkpoint-every", type=int, default=0)
+    parser.add_argument("--unidirectional", action="store_true",
+                        help="also save the plain path-traced image")
+    parser.add_argument("--timing", action="store_true")
+    args = parser.parse_args(argv)
+
+    from .. import constants
+    constants.TIMED_ENABLED = args.timing
+
+    from ..renderer import Renderer
+    from ..scene import create_scene_from_preset
+
+    scene = create_scene_from_preset(
+        args.scene, pixel_width=args.width, pixel_height=args.height
+    )
+    print(f"scene '{args.scene}': {scene.n_triangles} triangles, "
+          f"{scene.n_nodes} BVH nodes, built in {scene.build_seconds:.2f}s")
+
+    renderer = Renderer(scene, seed=args.seed)
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        renderer.load_checkpoint(args.checkpoint)
+        print(f"resumed at sample {renderer.samples} from {args.checkpoint}")
+
+    start = time.time()
+    preview_path = os.path.join(args.output_dir, "preview.png")
+    try:
+        for i in range(renderer.samples, args.samples):
+            renderer.run_sample()
+            print(f"Sample {i}/{args.samples} completed")
+            if args.preview_every and (i + 1) % args.preview_every == 0:
+                save_png(preview_path, renderer.image)
+            if (
+                args.checkpoint
+                and args.checkpoint_every
+                and (i + 1) % args.checkpoint_every == 0
+            ):
+                renderer.save_checkpoint(args.checkpoint)
+    except KeyboardInterrupt:
+        if not args.save_on_quit:
+            raise
+        print("interrupted; saving current image")
+
+    renderer.block()
+    print(f"Rendering took {time.time() - start:.2f} seconds")
+
+    stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    out_path = os.path.join(args.output_dir, f"{stamp}.png")
+    save_png(out_path, renderer.image)
+    print(f"wrote {out_path}")
+    if args.unidirectional:
+        uni_path = os.path.join(args.output_dir, f"{stamp}_unidirectional.png")
+        save_png(uni_path, renderer.unidirectional_image)
+        print(f"wrote {uni_path}")
+    if args.checkpoint:
+        renderer.save_checkpoint(args.checkpoint)
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import DELTA, MAX_BOUNCES
-from ..ops.intersect import intersect_bvh
+from ..ops.gather import gather_rows
+from ..ops.intersect import intersect_scene
 from ..ops.sampling import PI, dot, normalize
 
 
@@ -80,7 +81,6 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
     mat = scene["mat"]
     tri = scene["tri"]
     cam = scene["camera"]
-    bvh_arrays = scene["bvh"]
 
     n = cam_len.shape[0]
     pairs = connection_pairs(max_bounces)
@@ -92,8 +92,8 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
         lv = _take_d(LV, s - 1)
         cv = _take_d(CV, t - 1)
         lens_ok = (t <= cam_len) & (s <= light_len)
-        l_spec = mat["type"][lv["material"]] > 0
-        c_spec = mat["type"][cv["material"]] > 0
+        l_spec = gather_rows(mat["type"], lv["material"]) > 0
+        c_spec = gather_rows(mat["type"], cv["material"]) > 0
 
         proj_dir = normalize(cam["focal_point"][None, :] - lv["origin"])
         t1_ok = ~l_spec & (dot(proj_dir, cam["direction"][None, :]) <= 0.0)
@@ -109,8 +109,8 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
         is_t1 = t == 1
         active = lens_ok & jnp.where(is_t1, t1_ok, gen_ok)
         direction = jnp.where(is_t1, proj_dir, dir_l_to_c)
-        hit_i, hit_t, _, _ = intersect_bvh(
-            lv["origin"], direction, bvh_arrays, active=active
+        hit_i, hit_t, _, _ = intersect_scene(
+            lv["origin"], direction, scene, active=active
         )
         return hit_i, hit_t, active
 
@@ -144,7 +144,7 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
                     valid &= cv["hit_light"] >= 0
                     lv = None
                     g = jnp.ones((n,), dtype=jnp.float32)
-                    emission = mat["emission"][cv["material"]]
+                    emission = gather_rows(mat["emission"], cv["material"])
                     color = _vstatic(CV, t - 2)["color"] * emission
                 else:
                     idx = pair_index[(t, s)]
@@ -161,16 +161,16 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
                     camera_color = (
                         _vstatic(CV, t - 2)["color"]
                         * new_camera_f[:, None]
-                        * mat["color"][cv["material"]]
+                        * gather_rows(mat["color"], cv["material"])
                     )
                     if s == 1:
-                        light_color = mat["emission"][lv["material"]]
+                        light_color = gather_rows(mat["emission"], lv["material"])
                     else:
                         new_light_f = jnp.abs(dot(dir_l_to_c, lv["normal"])) / PI
                         light_color = (
                             _vstatic(LV, s - 2)["color"]
                             * new_light_f[:, None]
-                            * mat["color"][lv["material"]]
+                            * gather_rows(mat["color"], lv["material"])
                         )
                     color = camera_color * light_color
                     g = _geom(cv, lv)
@@ -186,6 +186,7 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
         contrib_weight_sum=contrib_weight,
         light_image=flat_light.reshape(height, width, 3),
         light_weight_image=flat_light_w.reshape(height, width),
+        n_rays=jnp.sum(cast_active.astype(jnp.int32)),
     )
 
 
@@ -202,7 +203,7 @@ def _strategy_t1(t, s, CV, LV, cam_len, light_len, scene, width, height,
     proj_dir = normalize(cam["focal_point"][None, :] - lv["origin"])
 
     safe_i = jnp.maximum(hit_i, 0)
-    is_cam_tri = (hit_i >= 0) & (tri["is_camera"][safe_i] != 0)
+    is_cam_tri = (hit_i >= 0) & (gather_rows(tri["is_camera"], safe_i) != 0)
     camera_point = lv["origin"] + hit_t[:, None] * proj_dir
 
     rel = camera_point - cam["center"][None, :]
@@ -242,7 +243,7 @@ def _strategy_t1(t, s, CV, LV, cam_len, light_len, scene, width, height,
     value = (
         (w * new_light_f * g / jnp.maximum(p_s, 1e-38))[:, None]
         * prior["color"]
-        * mat["color"][lv["material"]]
+        * gather_rows(mat["color"], lv["material"])
     )
     pix_out = jnp.where(valid, pixel, width * height)  # OOB -> dropped
     return pix_out, jnp.where(valid[:, None], value, 0.0), jnp.where(valid, w, 0.0)
@@ -302,7 +303,7 @@ def _mis_weight(t, s, CV, LV, cv, lv, mat, cv_synthetic=None):
 
     # specular vertices cannot be connection endpoints: zero their
     # hypothetical strategies (trace.metal:759-764)
-    spec = [mat["type"][v["material"]] > 0 for v in vx]
+    spec = [gather_rows(mat["type"], v["material"]) > 0 for v in vx]
     for i in range(k):
         p_values[i] = jnp.where(spec[i], 0.0, p_values[i])
         p_values[i + 1] = jnp.where(spec[i], 0.0, p_values[i + 1])

@@ -83,6 +83,7 @@ def render_sample(key, scene, width: int, height: int,
         unidirectional=jnp.nan_to_num(
             uni.reshape(height, width, 3), posinf=0.0, neginf=0.0
         ),
+        n_rays=cam_path["n_rays"] + light_path["n_rays"] + conn["n_rays"],
     )
 
 

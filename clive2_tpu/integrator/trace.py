@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from ..constants import DELTA, MAX_BOUNCES
 from ..ops import bsdf
-from ..ops.intersect import intersect_bvh
+from ..ops.gather import gather_rows
+from ..ops.intersect import intersect_scene
 from ..ops.sampling import (
     PI,
     dot,
@@ -43,8 +44,8 @@ from ..ops.sampling import (
 )
 
 
-def _take(tree, idx, axis=0):
-    return jax.tree.map(lambda a: jnp.take(a, idx, axis=axis), tree)
+def _take(tree, idx):
+    return jax.tree.map(lambda a: gather_rows(a, idx), tree)
 
 
 def generate_camera_rays(key, cam, width: int, height: int):
@@ -110,7 +111,7 @@ def generate_light_rays(key, lights, materials, n: int):
     direction = random_hemisphere_uniform(x, y, normal, rolls)
 
     l_imp = 1.0 / (count * lv["area"])
-    emission = materials["emission"][lv["material"]]
+    emission = gather_rows(materials["emission"], lv["material"])
 
     rays = dict(
         origin=origin,
@@ -174,7 +175,6 @@ def trace_subpaths(key, rays, pytree_scene, from_camera: bool,
     """
     tri = pytree_scene["tri"]
     mat = pytree_scene["mat"]
-    bvh_arrays = pytree_scene["bvh"]
 
     n = rays["origin"].shape[0]
     fwd_pending0 = (
@@ -185,24 +185,24 @@ def trace_subpaths(key, rays, pytree_scene, from_camera: bool,
     def step(carry, depth):
         cur, fwd_pending, active = carry
 
-        hit_i, hit_t, hit_u, hit_v = intersect_bvh(
-            cur["origin"], cur["direction"], bvh_arrays, active=active
+        hit_i, hit_t, hit_u, hit_v = intersect_scene(
+            cur["origin"], cur["direction"], pytree_scene, active=active
         )
         hit_ok = hit_i >= 0
         safe_i = jnp.maximum(hit_i, 0)
 
-        face_n = tri["face_normal"][safe_i]
-        n0 = tri["n0"][safe_i]
-        n1 = tri["n1"][safe_i]
-        n2 = tri["n2"][safe_i]
-        tri_mat = tri["material"][safe_i]
-        is_light = tri["is_light"][safe_i]
-        is_camera = tri["is_camera"][safe_i]
+        face_n = gather_rows(tri["face_normal"], safe_i)
+        n0 = gather_rows(tri["n0"], safe_i)
+        n1 = gather_rows(tri["n1"], safe_i)
+        n2 = gather_rows(tri["n2"], safe_i)
+        tri_mat = gather_rows(tri["material"], safe_i)
+        is_light = gather_rows(tri["is_light"], safe_i)
+        is_camera = gather_rows(tri["is_camera"], safe_i)
 
-        alpha = mat["alpha"][tri_mat]
-        ior = mat["ior"][tri_mat]
-        mat_type = mat["type"][tri_mat]
-        mat_color = mat["color"][tri_mat]
+        alpha = gather_rows(mat["alpha"], tri_mat)
+        ior = gather_rows(mat["ior"], tri_mat)
+        mat_type = gather_rows(mat["type"], tri_mat)
+        mat_color = gather_rows(mat["color"], tri_mat)
 
         d = cur["direction"]
         cos_f = dot(-d, face_n)
@@ -300,7 +300,10 @@ def trace_subpaths(key, rays, pytree_scene, from_camera: bool,
     verts = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), verts)
     valid = jnp.moveaxis(valid, 0, 1)
     length = jnp.sum(valid.astype(jnp.int32), axis=1)
-    return dict(vertices=verts, valid=valid, length=length)
+    # extension rays actually cast: one per vertex stored, plus the final
+    # breaking cast per path (capped at max_bounces)
+    n_rays = jnp.sum(jnp.minimum(length + 1, max_bounces).astype(jnp.int32))
+    return dict(vertices=verts, valid=valid, length=length, n_rays=n_rays)
 
 
 def unidirectional_image(path):

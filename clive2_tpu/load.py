@@ -236,3 +236,48 @@ def load_mesh_file(path, **kw) -> TriangleSoup:
     if str(path).endswith(".obj"):
         return load_obj(path, **kw)
     raise NotImplementedError(f"unsupported mesh format: {path}")
+
+
+# --------------------------------------------------------------------------
+# writers (the reference has none; used by the procedural asset generator
+# and for exporting)
+# --------------------------------------------------------------------------
+
+def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray):
+    with open(path, "w") as f:
+        for v in np.asarray(vertices, dtype=np.float64):
+            f.write(f"v {v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n")
+        for a, b, c in np.asarray(faces, dtype=np.int64) + 1:
+            f.write(f"f {a} {b} {c}\n")
+
+
+def write_ply(path: str, vertices: np.ndarray, faces: np.ndarray,
+              binary: bool = True):
+    vertices = np.asarray(vertices, dtype=np.float32)
+    faces = np.asarray(faces, dtype=np.int32)
+    header = (
+        "ply\n"
+        f"format {'binary_little_endian' if binary else 'ascii'} 1.0\n"
+        f"element vertex {len(vertices)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {len(faces)}\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+    )
+    if binary:
+        with open(path, "wb") as f:
+            f.write(header.encode("ascii"))
+            f.write(vertices.astype("<f4").tobytes())
+            counts = np.full((len(faces), 1), 3, dtype=np.uint8)
+            rows = b"".join(
+                counts[i].tobytes() + faces[i].astype("<i4").tobytes()
+                for i in range(len(faces))
+            )
+            f.write(rows)
+    else:
+        with open(path, "w") as f:
+            f.write(header)
+            for v in vertices:
+                f.write(f"{v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n")
+            for fc in faces:
+                f.write(f"3 {fc[0]} {fc[1]} {fc[2]}\n")

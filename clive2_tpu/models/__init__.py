@@ -1,0 +1,10 @@
+"""Procedural mesh generators.
+
+The reference ships no assets in its snapshot (scene presets point at
+``../resources/*.obj|*.ply``, scene.py:159-200).  This module provides
+procedural generators used both as test fixtures and as documented
+stand-ins for the missing Utah-teapot / Stanford-dragon files
+(scripts/make_assets.py writes them into resources/).
+"""
+
+from .primitives import icosphere, revolve, displaced_blob, teapot_like  # noqa: F401

@@ -84,6 +84,77 @@ def intersect_brute(origin, direction, tri_vertices):
     )
 
 
+def intersect_brute_chunked(origin, direction, brute, active=None,
+                            chunk: int = 32):
+    """Closest hit by dense Möller–Trumbore over all triangles, chunked.
+
+    For small scenes this beats any BVH on TPU: zero gathers, pure
+    broadcasted VPU math (the Cornell presets are 16-20 triangles).  The
+    scene build selects this path via the ``brute`` scene entry
+    (see scene.py) when the triangle count is small.
+
+    brute: dict with v0/e1/e2 [Tpad, 3] (padded with degenerate tris) and
+    ``count`` (python int, unused — padding is inert because degenerate
+    triangles produce a==0 -> miss).
+    """
+    v0, e1, e2 = brute["v0"], brute["e1"], brute["e2"]
+    t_pad = v0.shape[0]
+    n = origin.shape[0]
+    n_chunks = t_pad // chunk
+
+    def body(c, state):
+        best_t, best_i, best_u, best_v = state
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, axis=0)
+        hit, t, u, v = moller_trumbore(
+            origin[:, None, :], direction[:, None, :],
+            sl(v0)[None], sl(e1)[None], sl(e2)[None],
+        )  # [N, chunk]
+        # sanitize: missed lanes carry inf/nan u,v — zero them so the
+        # one-hot select below can't be poisoned by 0 * inf
+        u = jnp.where(hit, u, 0.0)
+        v = jnp.where(hit, v, 0.0)
+        t_c = jnp.min(t, axis=1)
+        k = jnp.argmin(t, axis=1)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == k[:, None])
+        ohf = onehot.astype(jnp.float32)
+        better = t_c < best_t
+        best_t = jnp.where(better, t_c, best_t)
+        best_i = jnp.where(better, (c * chunk + k).astype(jnp.int32), best_i)
+        best_u = jnp.where(better, jnp.sum(u * ohf, axis=1), best_u)
+        best_v = jnp.where(better, jnp.sum(v * ohf, axis=1), best_v)
+        return best_t, best_i, best_u, best_v
+
+    init = (
+        jnp.full(n, INF),
+        jnp.full(n, -1, dtype=jnp.int32),
+        jnp.zeros(n, dtype=jnp.float32),
+        jnp.zeros(n, dtype=jnp.float32),
+    )
+    best_t, best_i, best_u, best_v = jax.lax.fori_loop(0, n_chunks, body, init)
+    if active is not None:
+        best_i = jnp.where(active, best_i, -1)
+        best_t = jnp.where(active, best_t, INF)
+    return best_i, best_t, best_u, best_v
+
+
+def intersect_scene(origin, direction, scene, active=None):
+    """Static dispatch over the scene's traversal representation.
+
+    The scene pytree's *structure* selects the implementation (structure is
+    static under jit): a ``brute`` entry -> dense MT; a ``pallas`` entry ->
+    packet-traversal kernel; otherwise the gather-based threaded-BVH walk.
+    """
+    if "brute" in scene:
+        return intersect_brute_chunked(origin, direction, scene["brute"],
+                                       active=active)
+    if "pallas" in scene:
+        from .traverse_pallas import intersect_pallas
+
+        return intersect_pallas(origin, direction, scene["pallas"],
+                                active=active)
+    return intersect_bvh(origin, direction, scene["bvh"], active=active)
+
+
 def intersect_bvh(origin, direction, bvh_arrays, active=None):
     """Closest-hit traversal of a miss-link threaded BVH.
 
@@ -140,14 +211,19 @@ def intersect_bvh(origin, direction, bvh_arrays, active=None):
         )
         valid = hit & (ti >= 0) & do_leaf[:, None]
         t = jnp.where(valid, t, INF)
+        u = jnp.where(valid, u, 0.0)
+        v = jnp.where(valid, v, 0.0)
+        t_leaf = jnp.min(t, axis=1)
         k = jnp.argmin(t, axis=1)
-        rows = jnp.arange(n_rays)
-        t_leaf = t[rows, k]
+        ohf = (
+            jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == k[:, None]
+        ).astype(jnp.float32)
         better = t_leaf < best_t
         best_t = jnp.where(better, t_leaf, best_t)
-        best_i = jnp.where(better, ti[rows, k], best_i)
-        best_u = jnp.where(better, u[rows, k], best_u)
-        best_v = jnp.where(better, v[rows, k], best_v)
+        ti_k = jnp.sum(ti.astype(jnp.float32) * ohf, axis=1).astype(jnp.int32)
+        best_i = jnp.where(better, ti_k, best_i)
+        best_u = jnp.where(better, jnp.sum(u * ohf, axis=1), best_u)
+        best_v = jnp.where(better, jnp.sum(v * ohf, axis=1), best_v)
 
         nxt = jnp.where(box_hit & ~is_leaf, nd + 1, miss[nd])
         node = jnp.where(alive, nxt, node)
@@ -164,7 +240,7 @@ def intersect_bvh(origin, direction, bvh_arrays, active=None):
     return best_i, best_t, best_u, best_v
 
 
-def visibility_test(a_origin, a_triangle, b_origin, b_triangle, bvh_arrays,
+def visibility_test(a_origin, a_triangle, b_origin, b_triangle, scene,
                     active=None):
     """Mutual-visibility check between path vertices (trace.metal:178-197).
 
@@ -177,6 +253,6 @@ def visibility_test(a_origin, a_triangle, b_origin, b_triangle, bvh_arrays,
     from .sampling import normalize
 
     direction = normalize(direction)
-    tri, _, _, _ = intersect_bvh(a_origin, direction, bvh_arrays, active=active)
+    tri, _, _, _ = intersect_scene(a_origin, direction, scene, active=active)
     visible = (tri >= 0) & (tri != a_triangle) & (tri == b_triangle)
     return visible

@@ -23,6 +23,29 @@ from .integrator.render import init_accumulators, render_sample
 from .scene import Scene
 
 
+@functools.lru_cache(maxsize=16)
+def _make_step(width: int, height: int, max_bounces: int, mesh):
+    """Module-level jit cache: renderers with the same image geometry share
+    one compiled program.  The reference recompiles its Metal kernels for
+    every movie frame (movie.py:31-38); here frame N+1 reuses frame N's
+    executable as long as shapes match."""
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def _step(key, state, scene_data):
+        sample = render_sample(
+            key, scene_data, width, height, max_bounces, mesh=mesh
+        )
+        return dict(
+            summed_image=state["summed_image"] + sample["image"],
+            summed_weight=state["summed_weight"] + sample["weight"],
+            summed_unidirectional=state["summed_unidirectional"]
+            + sample["unidirectional"],
+            n_samples=state["n_samples"] + 1,
+        )
+
+    return _step
+
+
 class Renderer:
     def __init__(self, scene: Scene, seed: int = 0,
                  max_bounces: int = MAX_BOUNCES, mesh=None):
@@ -34,23 +57,7 @@ class Renderer:
         self.key = jax.random.key(seed)
         self.samples = 0
         self.state = init_accumulators(self.width, self.height)
-
-        width, height = self.width, self.height
-
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _step(key, state, scene_data):
-            sample = render_sample(
-                key, scene_data, width, height, max_bounces, mesh=mesh
-            )
-            return dict(
-                summed_image=state["summed_image"] + sample["image"],
-                summed_weight=state["summed_weight"] + sample["weight"],
-                summed_unidirectional=state["summed_unidirectional"]
-                + sample["unidirectional"],
-                n_samples=state["n_samples"] + 1,
-            )
-
-        self._step = _step
+        self._step = _make_step(self.width, self.height, max_bounces, mesh)
 
     @timed
     def run_sample(self):
@@ -94,6 +101,11 @@ class Renderer:
     def save_checkpoint(self, path: str):
         """Accumulators + sample counter; resuming continues the exact RNG
         stream (keys are counter-based fold_ins of the seed key)."""
+        import os
+
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
         np.savez(
             path,
             summed_image=np.asarray(self.state["summed_image"]),

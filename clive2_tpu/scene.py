@@ -30,6 +30,22 @@ RESOURCE_DIR = os.environ.get(
     os.path.join(os.path.dirname(__file__), "..", "resources"),
 )
 
+# scenes at or below this triangle count trace via dense Möller–Trumbore
+# (no BVH walk; see ops/intersect.py:intersect_brute_chunked)
+BRUTE_FORCE_MAX_TRIS = int(os.environ.get("CLIVE2_BRUTE_MAX_TRIS", 256))
+
+# VMEM budget for the Pallas packet-traversal kernel's scene tables
+PALLAS_VMEM_BUDGET = int(os.environ.get("CLIVE2_PALLAS_VMEM", 10 * 2**20))
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
 
 @dataclasses.dataclass
 class Scene:
@@ -81,6 +97,22 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
         leaf_e2=dev(leafs["e2"]),
         leaf_tri=dev(leafs["tri_index"]),
     )
+    # Small scenes skip the BVH at trace time entirely: dense chunked
+    # Möller–Trumbore over all triangles has zero gathers and is faster on
+    # TPU than any pointer walk (the dispatcher keys on this entry's
+    # presence, ops/intersect.py:intersect_scene).
+    brute = None
+    if len(soup) <= BRUTE_FORCE_MAX_TRIS:
+        chunk = 32
+        t_pad = max(chunk, ((len(soup) + chunk - 1) // chunk) * chunk)
+        v0 = np.zeros((t_pad, 3), np.float32)
+        e1 = np.zeros((t_pad, 3), np.float32)
+        e2 = np.zeros((t_pad, 3), np.float32)
+        v0[: len(soup)] = soup.vertices[:, 0]
+        e1[: len(soup)] = soup.vertices[:, 1] - soup.vertices[:, 0]
+        e2[: len(soup)] = soup.vertices[:, 2] - soup.vertices[:, 0]
+        brute = dict(v0=dev(v0), e1=dev(e1), e2=dev(e2))
+
     light_sel = np.nonzero(soup.is_light)[0]
     areas = soup.surface_areas()[light_sel]
     lights = dict(
@@ -92,13 +124,25 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
         tri_index=dev(light_sel.astype(np.int32)),
         material=dev(soup.material[light_sel].astype(np.int32)),
     )
-    return dict(
+    data = dict(
         tri=tri,
         bvh=bvh_arrays,
         mat={k: dev(v) for k, v in materials.to_pytree().items()},
         lights=lights,
         camera=camera.to_pytree(),
-    ), bvh
+    )
+    if brute is not None:
+        data["brute"] = brute
+    else:
+        # mid-size scenes use the Pallas packet-traversal kernel when the
+        # whole tree fits comfortably in VMEM (~16 MB on v5e); huge scenes
+        # fall back to the XLA gather walk
+        from .ops import traverse_pallas as tp
+
+        packed = tp.pack_bvh(bvh, soup)
+        if tp.vmem_bytes(packed) <= PALLAS_VMEM_BUDGET and _on_tpu():
+            data["pallas"] = {k: dev(v) for k, v in packed.items()}
+    return data, bvh
 
 
 def create_scene(

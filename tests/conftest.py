@@ -1,14 +1,23 @@
 """Test harness: force CPU with 8 virtual devices (multi-chip sharding tests
-run on the host; real-TPU benchmarks live in bench.py)."""
+run on the host; real-TPU benchmarks live in bench.py).
+
+Note: this image's sitecustomize pre-imports jax to register the TPU
+backend, so setting JAX_PLATFORMS in os.environ here is too late — use
+jax.config.update instead (the backend itself is still uninitialized when
+conftest runs, so XLA_FLAGS for virtual host devices still takes effect).
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
