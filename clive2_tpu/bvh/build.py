@@ -235,20 +235,26 @@ def leaf_tables(bvh: FlatBVH, soup: TriangleSoup):
     *original* soup order; -1 padding).
     """
     L, K = bvh.n_leaves, bvh.max_leaf_size
-    perm_verts = soup.vertices[bvh.permutation]  # [T, 3, 3]
+    n_tris = len(soup)
 
+    leaf_nodes = np.nonzero(bvh.leaf_id >= 0)[0]
+    lids = bvh.leaf_id[leaf_nodes]
+    starts = bvh.tri_start[leaf_nodes].astype(np.int64)
+    counts = bvh.tri_count[leaf_nodes].astype(np.int64)
+
+    k = np.arange(K, dtype=np.int64)
+    valid = k[None, :] < counts[:, None]                      # [L, K]
+    src = np.minimum(starts[:, None] + k[None, :], n_tris - 1)
+    orig = bvh.permutation[src]                               # [L, K]
+
+    verts = soup.vertices[orig]                               # [L, K, 3, 3]
     v0 = np.zeros((L, K, 3), dtype=np.float32)
     e1 = np.zeros((L, K, 3), dtype=np.float32)
     e2 = np.zeros((L, K, 3), dtype=np.float32)
     tri_index = np.full((L, K), -1, dtype=np.int32)
-
-    leaf_nodes = np.nonzero(bvh.leaf_id >= 0)[0]
-    for fi in leaf_nodes:
-        lid = bvh.leaf_id[fi]
-        s, c = bvh.tri_start[fi], bvh.tri_count[fi]
-        tv = perm_verts[s : s + c]
-        v0[lid, :c] = tv[:, 0]
-        e1[lid, :c] = tv[:, 1] - tv[:, 0]
-        e2[lid, :c] = tv[:, 2] - tv[:, 0]
-        tri_index[lid, :c] = bvh.permutation[s : s + c]
+    mask3 = valid[..., None]
+    v0[lids] = np.where(mask3, verts[:, :, 0], 0.0)
+    e1[lids] = np.where(mask3, verts[:, :, 1] - verts[:, :, 0], 0.0)
+    e2[lids] = np.where(mask3, verts[:, :, 2] - verts[:, :, 0], 0.0)
+    tri_index[lids] = np.where(valid, orig, -1).astype(np.int32)
     return dict(v0=v0, e1=e1, e2=e2, tri_index=tri_index)
