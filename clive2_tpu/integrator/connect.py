@@ -109,8 +109,12 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
         is_t1 = t == 1
         active = lens_ok & jnp.where(is_t1, t1_ok, gen_ok)
         direction = jnp.where(is_t1, proj_dir, dir_l_to_c)
+        # sort=True doubles as stream compaction here: most (t, s) casts
+        # have low active fractions (strategy beyond the path's length),
+        # and inactive-last Morton ordering collapses dead lanes into
+        # packets that exit after one root test
         hit_i, hit_t, _, _ = intersect_scene(
-            lv["origin"], direction, scene, active=active
+            lv["origin"], direction, scene, active=active, sort=True
         )
         return hit_i, hit_t, active
 
@@ -203,7 +207,9 @@ def _strategy_t1(t, s, CV, LV, cam_len, light_len, scene, width, height,
     proj_dir = normalize(cam["focal_point"][None, :] - lv["origin"])
 
     safe_i = jnp.maximum(hit_i, 0)
-    is_cam_tri = (hit_i >= 0) & (gather_rows(tri["is_camera"], safe_i) != 0)
+    is_cam_tri = (hit_i >= 0) & (
+        gather_rows(tri["packed"], safe_i)[:, 14] != 0
+    )
     camera_point = lv["origin"] + hit_t[:, None] * proj_dir
 
     rel = camera_point - cam["center"][None, :]

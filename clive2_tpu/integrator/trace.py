@@ -185,19 +185,25 @@ def trace_subpaths(key, rays, pytree_scene, from_camera: bool,
     def step(carry, depth):
         cur, fwd_pending, active = carry
 
+        # Morton-sort the wavefront for packet coherence: extension rays
+        # are always mostly-active, so the sort pays for itself (the
+        # connect stage's mostly-masked casts skip it)
         hit_i, hit_t, hit_u, hit_v = intersect_scene(
-            cur["origin"], cur["direction"], pytree_scene, active=active
+            cur["origin"], cur["direction"], pytree_scene, active=active,
+            sort=True,
         )
         hit_ok = hit_i >= 0
         safe_i = jnp.maximum(hit_i, 0)
 
-        face_n = gather_rows(tri["face_normal"], safe_i)
-        n0 = gather_rows(tri["n0"], safe_i)
-        n1 = gather_rows(tri["n1"], safe_i)
-        n2 = gather_rows(tri["n2"], safe_i)
-        tri_mat = gather_rows(tri["material"], safe_i)
-        is_light = gather_rows(tri["is_light"], safe_i)
-        is_camera = gather_rows(tri["is_camera"], safe_i)
+        # one fused gather for every hit attribute (scene.py packs rows)
+        attrs = gather_rows(tri["packed"], safe_i)
+        face_n = attrs[:, 0:3]
+        n0 = attrs[:, 3:6]
+        n1 = attrs[:, 6:9]
+        n2 = attrs[:, 9:12]
+        tri_mat = attrs[:, 12].astype(jnp.int32)
+        is_light = attrs[:, 13].astype(jnp.int32)
+        is_camera = attrs[:, 14].astype(jnp.int32)
 
         alpha = gather_rows(mat["alpha"], tri_mat)
         ior = gather_rows(mat["ior"], tri_mat)

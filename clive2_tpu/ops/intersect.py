@@ -137,7 +137,7 @@ def intersect_brute_chunked(origin, direction, brute, active=None,
     return best_i, best_t, best_u, best_v
 
 
-def intersect_scene(origin, direction, scene, active=None):
+def intersect_scene(origin, direction, scene, active=None, sort=False):
     """Static dispatch over the scene's traversal representation.
 
     The scene pytree's *structure* selects the implementation (structure is
@@ -148,10 +148,10 @@ def intersect_scene(origin, direction, scene, active=None):
         return intersect_brute_chunked(origin, direction, scene["brute"],
                                        active=active)
     if "pallas" in scene:
-        from .traverse_pallas import intersect_pallas
+        from .traverse_pallas2 import intersect_pallas2
 
-        return intersect_pallas(origin, direction, scene["pallas"],
-                                active=active)
+        return intersect_pallas2(origin, direction, scene["pallas"],
+                                 active=active, sort=sort)
     return intersect_bvh(origin, direction, scene["bvh"], active=active)
 
 

@@ -1,0 +1,352 @@
+"""Pallas TPU packet BVH traversal, v2.
+
+Evolution of traverse_pallas.py driven by measurement: v1 spent ~700
+cycles per node visit on dynamic-index VMEM scalar loads and loop
+overhead.  v2 changes:
+
+  * Node records live in SMEM (scalar memory — built for exactly this
+    access pattern).  A record holds BOTH children's AABBs, so one pop
+    tests two boxes and the stack only ever holds inner nodes: half the
+    iterations, and leaf children are processed inline.
+  * Leaf intersection is TRANSPOSED: the 8 padded leaf triangles load as
+    one [8, 16] VMEM tile whose columns broadcast along lanes, and the
+    1024-ray packet is processed as 8 groups of 128 rays broadcast along
+    sublanes — every Möller-Trumbore op tests 8 triangles x 128 rays with
+    zero scalar loads.
+
+Node encoding (pack_bvh2): inner nodes renumbered compactly; a child
+reference >= 0 is an inner id, < 0 encodes leaf id -(x+1).
+
+SMEM capacity bounds the tree (~12 KB/1k inner nodes); scene.py checks
+the budget and falls back to the gather walk for oversized scenes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import DELTA
+
+SUBLANES = 8
+LANES = 128
+BLOCK_RAYS = SUBLANES * LANES  # 1024
+STACK_DEPTH = 192
+MAX_LEAF = 8
+LEAF_COLS = 16  # v0(3) e1(3) e2(3) tri(1) pad(6)
+INF = float("inf")
+
+
+def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act,
+            out_t, out_i, out_u, out_v, stack):
+    tiny = jnp.float32(1e-30)
+
+    def inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < tiny,
+                               jnp.where(d < 0, -tiny, tiny), d)
+
+    invx, invy, invz = inv(dx[:]), inv(dy[:]), inv(dz[:])
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    active = act[:] > 0.0
+
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+
+    def box_test(node, base, bt):
+        off = node * 12 + base
+        t0x = (nodebox[off + 0] - o_x) * invx
+        t1x = (nodebox[off + 3] - o_x) * invx
+        t0y = (nodebox[off + 1] - o_y) * invy
+        t1y = (nodebox[off + 4] - o_y) * invy
+        t0z = (nodebox[off + 2] - o_z) * invz
+        t1z = (nodebox[off + 5] - o_z) * invz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), bt),
+        )
+        return (tmin <= tmax) & active
+
+    def leaf_tests(lid, box_hit, bt, bi, bu, bv):
+        """Transposed MT: [8 tris x 128 rays] per vector op."""
+        tile = leaff[pl.ds(lid * MAX_LEAF, MAX_LEAF), :]  # [8, 16]
+
+        def col(k):
+            return jnp.broadcast_to(tile[:, k:k + 1], (SUBLANES, LANES))
+
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+        tri_f = col(9)
+
+        new_rows_t, new_rows_i, new_rows_u, new_rows_v = [], [], [], []
+        for g in range(SUBLANES):
+            row = lambda a: jnp.broadcast_to(a[g:g + 1, :], (SUBLANES, LANES))
+            rox, roy, roz = row(o_x), row(o_y), row(o_z)
+            rdx, rdy, rdz = row(d_x), row(d_y), row(d_z)
+            rhit = row(box_hit.astype(jnp.float32)) > 0.0
+            rbt = row(bt)
+
+            hx = rdy * e2z - rdz * e2y
+            hy = rdz * e2x - rdx * e2z
+            hz = rdx * e2y - rdy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a
+            sx = rox - v0x
+            sy = roy - v0y
+            sz = roz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (rdx * qx + rdy * qy + rdz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            ok = (
+                (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > DELTA) & (t < rbt) & rhit & (tri_f >= 0.0)
+            )
+            t = jnp.where(ok, t, INF)
+            tmin = jnp.min(t, axis=0, keepdims=True)          # [1, 128]
+            found = tmin < rbt[0:1, :]
+            is_best = (t == jnp.broadcast_to(tmin, t.shape)) & ok
+            pick = lambda val: jnp.max(
+                jnp.where(is_best, val, -jnp.float32(INF)), axis=0, keepdims=True
+            )
+            sel_i = pick(tri_f)
+            sel_u = pick(jnp.where(is_best, u, 0.0))
+            sel_v = pick(jnp.where(is_best, v, 0.0))
+            new_rows_t.append(jnp.where(found, tmin, bt[g:g + 1, :]))
+            new_rows_i.append(
+                jnp.where(found, sel_i.astype(jnp.int32), bi[g:g + 1, :])
+            )
+            new_rows_u.append(jnp.where(found, sel_u, bu[g:g + 1, :]))
+            new_rows_v.append(jnp.where(found, sel_v, bv[g:g + 1, :]))
+
+        return (
+            jnp.concatenate(new_rows_t, axis=0),
+            jnp.concatenate(new_rows_i, axis=0),
+            jnp.concatenate(new_rows_u, axis=0),
+            jnp.concatenate(new_rows_v, axis=0),
+        )
+
+    stack[0] = 0
+
+    def cond(c):
+        return c[0] > 0
+
+    def body(c):
+        sp, bt, bi, bu, bv = c
+        node = stack[sp - 1]
+        sp = sp - 1
+
+        hit_a = box_test(node, 0, bt)
+        hit_b = box_test(node, 6, bt)
+        any_a = jnp.any(hit_a)
+        any_b = jnp.any(hit_b)
+
+        ca = childs[node * 2]
+        cb = childs[node * 2 + 1]
+        a_leaf = ca < 0
+        b_leaf = cb < 0
+
+        push_b = any_b & (~b_leaf)
+        push_a = any_a & (~a_leaf)
+
+        @pl.when(push_b)
+        def _():
+            stack[sp] = cb
+
+        sp_b = sp + push_b.astype(jnp.int32)
+
+        @pl.when(push_a)
+        def _():
+            stack[sp_b] = ca
+
+        sp_out = sp_b + push_a.astype(jnp.int32)
+
+        bt, bi, bu, bv = jax.lax.cond(
+            any_a & a_leaf,
+            lambda args: leaf_tests(-(ca + 1), hit_a, *args),
+            lambda args: args,
+            (bt, bi, bu, bv),
+        )
+        bt, bi, bu, bv = jax.lax.cond(
+            any_b & b_leaf,
+            lambda args: leaf_tests(-(cb + 1), hit_b, *args),
+            lambda args: args,
+            (bt, bi, bu, bv),
+        )
+        return sp_out, bt, bi, bu, bv
+
+    init = (
+        jnp.int32(1),
+        jnp.full((SUBLANES, LANES), INF, dtype=jnp.float32),
+        jnp.full((SUBLANES, LANES), -1, dtype=jnp.int32),
+        jnp.zeros((SUBLANES, LANES), dtype=jnp.float32),
+        jnp.zeros((SUBLANES, LANES), dtype=jnp.float32),
+    )
+    _, bt, bi, bu, bv = jax.lax.while_loop(cond, body, init)
+    out_t[:] = bt
+    out_i[:] = bi
+    out_u[:] = bu
+    out_v[:] = bv
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks",))
+def _traverse_blocks(nodebox, childs, leaff, rays, n_blocks: int):
+    plane = lambda: pl.BlockSpec(
+        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    shape = (n_blocks * SUBLANES, LANES)
+    out_shape = [
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct(shape, jnp.int32),
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+    ]
+    return pl.pallas_call(
+        _kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [plane()] * 7,
+        out_specs=[plane()] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+    )(nodebox, childs, leaff,
+      rays["ox"], rays["oy"], rays["oz"],
+      rays["dx"], rays["dy"], rays["dz"], rays["act"])
+
+
+def _morton_key(origin, direction, lo, hi, active=None):
+    """Packet-coherence sort key: direction octant (3 bits) then 30-bit
+    3D Morton code of the quantized origin.  Sorting rays by this key
+    before packetization tightens per-packet frustums (measured ~2x on
+    incoherent wavefronts, ~1.7x on row-major camera rays).
+
+    Inactive rays sort to the very end: the sort doubles as stream
+    compaction — dead lanes collapse into all-dead packets whose shared
+    stack empties after one root test."""
+    octant = (
+        (direction[:, 0] > 0).astype(jnp.uint32) * 4
+        + (direction[:, 1] > 0).astype(jnp.uint32) * 2
+        + (direction[:, 2] > 0).astype(jnp.uint32)
+    )
+    q = jnp.clip(
+        ((origin - lo) / jnp.maximum(hi - lo, 1e-6) * 1024).astype(jnp.uint32),
+        0, 1023,
+    )
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    m = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    key = (octant << 29) | (m >> 1)
+    if active is not None:
+        key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+    return key
+
+
+def intersect_pallas2(origin, direction, packed, active=None, sort=False):
+    """Closest hit via the v2 packet kernel; same contract as
+    intersect_bvh.  ``sort`` reorders rays by octant+Morton for packet
+    coherence and scatters results back."""
+    if sort and "lo" in packed:
+        key = _morton_key(origin, direction, packed["lo"], packed["hi"],
+                          active=active)
+        order = jnp.argsort(key)
+        inv = jnp.argsort(order)
+        i, t, u, v = intersect_pallas2(
+            origin[order], direction[order], packed,
+            active=None if active is None else active[order], sort=False,
+        )
+        return i[inv], t[inv], u[inv], v[inv]
+
+    n = origin.shape[0]
+    n_pad = max(BLOCK_RAYS, ((n + BLOCK_RAYS - 1) // BLOCK_RAYS) * BLOCK_RAYS)
+    n_blocks = n_pad // BLOCK_RAYS
+
+    def plane(x, fill):
+        flat = jnp.full((n_pad,), fill, dtype=jnp.float32).at[:n].set(x)
+        return flat.reshape(n_blocks * SUBLANES, LANES)
+
+    act = jnp.ones((n,), jnp.float32) if active is None else active.astype(jnp.float32)
+    rays = dict(
+        ox=plane(origin[:, 0], 0.0), oy=plane(origin[:, 1], 0.0),
+        oz=plane(origin[:, 2], 0.0),
+        dx=plane(direction[:, 0], 1.0), dy=plane(direction[:, 1], 0.0),
+        dz=plane(direction[:, 2], 0.0),
+        act=plane(act, 0.0),
+    )
+    t, i, u, v = _traverse_blocks(
+        packed["nodebox"], packed["childs"], packed["leaff"], rays, n_blocks
+    )
+    reshape = lambda a: a.reshape(n_pad)[:n]
+    return reshape(i), reshape(t), reshape(u), reshape(v)
+
+
+def pack_bvh2(bvh, soup):
+    """FlatBVH -> v2 layout.  Requires the root to be an inner node (the
+    scene build routes tiny scenes to the brute path first)."""
+    from ..bvh.build import leaf_tables
+
+    is_leaf = bvh.leaf_id >= 0
+    if is_leaf[0]:
+        raise ValueError("v2 packet kernel requires an inner root")
+
+    inner = np.nonzero(~is_leaf)[0]
+    inner_ord = np.full(bvh.n_nodes, -1, dtype=np.int64)
+    inner_ord[inner] = np.arange(len(inner))
+
+    left = inner + 1
+    right = bvh.right_child[inner].astype(np.int64)
+
+    def encode(child):
+        lid = bvh.leaf_id[child]
+        return np.where(lid >= 0, -(lid.astype(np.int64) + 1), inner_ord[child])
+
+    childs = np.stack([encode(left), encode(right)], axis=1).astype(np.int32).ravel()
+
+    nodebox = np.zeros((len(inner), 12), dtype=np.float32)
+    nodebox[:, 0:3] = bvh.node_mins[left]
+    nodebox[:, 3:6] = bvh.node_maxes[left]
+    nodebox[:, 6:9] = bvh.node_mins[right]
+    nodebox[:, 9:12] = bvh.node_maxes[right]
+    nodebox = nodebox.ravel()  # SMEM pads 2D minor dims to 128 words
+
+    tables = leaf_tables(bvh, soup)
+    lk = bvh.n_leaves * MAX_LEAF
+    leaff = np.zeros((lk, LEAF_COLS), dtype=np.float32)
+    leaff[:, 0:3] = tables["v0"].reshape(lk, 3)
+    leaff[:, 3:6] = tables["e1"].reshape(lk, 3)
+    leaff[:, 6:9] = tables["e2"].reshape(lk, 3)
+    leaff[:, 9] = tables["tri_index"].reshape(lk).astype(np.float32)
+    return dict(
+        nodebox=nodebox,
+        childs=childs,
+        leaff=leaff,
+        lo=bvh.node_mins[0].astype(np.float32),
+        hi=bvh.node_maxes[0].astype(np.float32),
+    )
+
+
+def smem_bytes(packed) -> int:
+    return int(packed["nodebox"].size + packed["childs"].size) * 4
+
+
+def vmem_bytes(packed) -> int:
+    return int(packed["leaff"].size) * 4

@@ -34,8 +34,9 @@ RESOURCE_DIR = os.environ.get(
 # (no BVH walk; see ops/intersect.py:intersect_brute_chunked)
 BRUTE_FORCE_MAX_TRIS = int(os.environ.get("CLIVE2_BRUTE_MAX_TRIS", 256))
 
-# VMEM budget for the Pallas packet-traversal kernel's scene tables
-PALLAS_VMEM_BUDGET = int(os.environ.get("CLIVE2_PALLAS_VMEM", 10 * 2**20))
+# budgets for the Pallas packet-traversal kernel's scene tables
+PALLAS_VMEM_BUDGET = int(os.environ.get("CLIVE2_PALLAS_VMEM", 4 * 2**20))
+PALLAS_SMEM_BUDGET = int(os.environ.get("CLIVE2_PALLAS_SMEM", 512 * 1024))
 
 
 def _on_tpu() -> bool:
@@ -87,6 +88,17 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
         is_light=dev(soup.is_light.astype(np.int32)),
         is_camera=dev(soup.is_camera.astype(np.int32)),
     )
+    # all hit-shading attributes in one row so the per-bounce lookup is a
+    # single gather (TPU gathers are latency-bound per *call*, not per byte)
+    packed_attrs = np.zeros((len(soup), 16), dtype=np.float32)
+    packed_attrs[:, 0:3] = soup.face_normals
+    packed_attrs[:, 3:6] = soup.vertex_normals[:, 0]
+    packed_attrs[:, 6:9] = soup.vertex_normals[:, 1]
+    packed_attrs[:, 9:12] = soup.vertex_normals[:, 2]
+    packed_attrs[:, 12] = soup.material
+    packed_attrs[:, 13] = soup.is_light
+    packed_attrs[:, 14] = soup.is_camera
+    tri["packed"] = dev(packed_attrs)
     bvh_arrays = dict(
         node_mins=dev(bvh.node_mins),
         node_maxes=dev(bvh.node_maxes),
@@ -134,13 +146,18 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
     if brute is not None:
         data["brute"] = brute
     else:
-        # mid-size scenes use the Pallas packet-traversal kernel when the
-        # whole tree fits comfortably in VMEM (~16 MB on v5e); huge scenes
-        # fall back to the XLA gather walk
-        from .ops import traverse_pallas as tp
+        # mid-size scenes use the v2 Pallas packet-traversal kernel when the
+        # node records fit SMEM (~1 MB) and the leaf table fits its VMEM
+        # budget; huge scenes fall back to the XLA gather walk (HBM-resident
+        # leaf streaming kernel is future work)
+        from .ops import traverse_pallas2 as tp2
 
-        packed = tp.pack_bvh(bvh, soup)
-        if tp.vmem_bytes(packed) <= PALLAS_VMEM_BUDGET and _on_tpu():
+        packed = tp2.pack_bvh2(bvh, soup)
+        if (
+            tp2.smem_bytes(packed) <= PALLAS_SMEM_BUDGET
+            and tp2.vmem_bytes(packed) <= PALLAS_VMEM_BUDGET
+            and _on_tpu()
+        ):
             data["pallas"] = {k: dev(v) for k, v in packed.items()}
     return data, bvh
 
