@@ -36,7 +36,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..renderer import Renderer
-    from ..scene import create_scene_from_preset_with_params
+    from ..scene import create_scene_from_preset_with_params, orbit_camera
 
     movie_dir = os.path.join(args.output_dir, args.movie_name)
     if args.start_frame == 0 and args.frame_offset == 0:
@@ -44,18 +44,28 @@ def main(argv=None):
             shutil.rmtree(movie_dir)
     os.makedirs(movie_dir, exist_ok=True)
 
-    frames = range(
+    frames = list(range(
         args.start_frame + args.frame_offset, args.movie_frames, args.frame_stride
-    )
+    ))
+    base_scene = None
     for f in frames:
         frame_start = time.time()
-        scene = create_scene_from_preset_with_params(
-            args.scene,
-            pixel_width=args.width,
-            pixel_height=args.height,
-            frame_idx=f,
-            total_frames=args.movie_frames,
-        )
+        if base_scene is None:
+            # geometry + BVH built exactly once; later frames only move the
+            # camera (the reference rebuilds scene+BVH+kernels every frame,
+            # movie.py:31-38)
+            base_scene = create_scene_from_preset_with_params(
+                args.scene,
+                pixel_width=args.width,
+                pixel_height=args.height,
+                frame_idx=f,
+                total_frames=args.movie_frames,
+            )
+            scene = base_scene
+        else:
+            scene = base_scene.with_camera(
+                orbit_camera(f, args.movie_frames, args.width, args.height)
+            )
         renderer = Renderer(scene, seed=args.seed + f)
         for i in range(args.samples):
             t0 = time.time()

@@ -143,6 +143,9 @@ def intersect_scene(origin, direction, scene, active=None, sort=False):
     The scene pytree's *structure* selects the implementation (structure is
     static under jit): a ``brute`` entry -> dense MT; a ``pallas`` entry ->
     packet-traversal kernel; otherwise the gather-based threaded-BVH walk.
+    BVH-path scenes intersect the sensor-plane triangles separately
+    (``camtri``) and merge the closest hit — the sensor stays out of the
+    BVH so camera moves never rebuild it (scene.py:Scene.with_camera).
     """
     if "brute" in scene:
         return intersect_brute_chunked(origin, direction, scene["brute"],
@@ -150,9 +153,40 @@ def intersect_scene(origin, direction, scene, active=None, sort=False):
     if "pallas" in scene:
         from .traverse_pallas2 import intersect_pallas2
 
-        return intersect_pallas2(origin, direction, scene["pallas"],
-                                 active=active, sort=sort)
-    return intersect_bvh(origin, direction, scene["bvh"], active=active)
+        hit = intersect_pallas2(origin, direction, scene["pallas"],
+                                active=active, sort=sort)
+    else:
+        hit = intersect_bvh(origin, direction, scene["bvh"], active=active)
+    if "camtri" in scene:
+        hit = _merge_camtri(origin, direction, scene["camtri"], hit, active)
+    return hit
+
+
+def _merge_camtri(origin, direction, camtri, hit, active):
+    """Merge the closest of (BVH hit, sensor-plane hit)."""
+    best_i, best_t, best_u, best_v = hit
+    c_hit, c_t, c_u, c_v = moller_trumbore(
+        origin[:, None, :], direction[:, None, :],
+        camtri["v0"][None], camtri["e1"][None], camtri["e2"][None],
+    )  # [N, C]
+    c_u = jnp.where(c_hit, c_u, 0.0)
+    c_v = jnp.where(c_hit, c_v, 0.0)
+    t_min = jnp.min(c_t, axis=1)
+    k = jnp.argmin(c_t, axis=1)
+    ohf = (
+        jax.lax.broadcasted_iota(jnp.int32, c_t.shape, 1) == k[:, None]
+    ).astype(jnp.float32)
+    better = t_min < best_t
+    if active is not None:
+        better &= active
+    ids_f = camtri["ids"].astype(jnp.float32)[None, :]
+    sel_i = jnp.sum(ids_f * ohf, axis=1).astype(jnp.int32)
+    return (
+        jnp.where(better, sel_i, best_i),
+        jnp.where(better, t_min, best_t),
+        jnp.where(better, jnp.sum(c_u * ohf, axis=1), best_u),
+        jnp.where(better, jnp.sum(c_v * ohf, axis=1), best_v),
+    )
 
 
 def intersect_bvh(origin, direction, bvh_arrays, active=None):

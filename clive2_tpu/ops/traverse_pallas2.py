@@ -269,7 +269,10 @@ def intersect_pallas2(origin, direction, packed, active=None, sort=False):
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
                           active=active)
         order = jnp.argsort(key)
-        inv = jnp.argsort(order)
+        # inverse permutation via scatter (cheaper than a second argsort)
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype)
+        )
         i, t, u, v = intersect_pallas2(
             origin[order], direction[order], packed,
             active=None if active is None else active[order], sort=False,
@@ -299,9 +302,10 @@ def intersect_pallas2(origin, direction, packed, active=None, sort=False):
     return reshape(i), reshape(t), reshape(u), reshape(v)
 
 
-def pack_bvh2(bvh, soup):
+def pack_bvh2(bvh, soup, leaf=None):
     """FlatBVH -> v2 layout.  Requires the root to be an inner node (the
-    scene build routes tiny scenes to the brute path first)."""
+    scene build routes tiny scenes to the brute path first).  ``leaf``
+    accepts precomputed (possibly id-remapped) leaf tables."""
     from ..bvh.build import leaf_tables
 
     is_leaf = bvh.leaf_id >= 0
@@ -328,7 +332,7 @@ def pack_bvh2(bvh, soup):
     nodebox[:, 9:12] = bvh.node_maxes[right]
     nodebox = nodebox.ravel()  # SMEM pads 2D minor dims to 128 words
 
-    tables = leaf_tables(bvh, soup)
+    tables = leaf_tables(bvh, soup) if leaf is None else leaf
     lk = bvh.n_leaves * MAX_LEAF
     leaff = np.zeros((lk, LEAF_COLS), dtype=np.float32)
     leaff[:, 0:3] = tables["v0"].reshape(lk, 3)

@@ -58,25 +58,89 @@ class Scene:
     data: Dict[str, Any]          # the jit-consumable pytree
     n_triangles: int
     n_nodes: int
+    camera_tri_ids: Any = None    # global ids of the sensor-plane triangles
 
     def with_camera(self, camera: Camera) -> "Scene":
-        """Replace only camera + sensor-plane geometry (cheap per-frame
-        update for animation; the BVH is NOT rebuilt).
+        """Replace only the camera + sensor-plane geometry — O(1), no BVH
+        rebuild, no recompile (shapes unchanged).
 
-        The sensor plane lives inside the BVH in the reference; here the
-        camera triangles are kept as a separate 2-triangle "camera BVH"
-        appendix... v1 keeps parity by full rebuild when geometry moved.
+        The reference rebuilds the whole scene, BVH, and kernels every
+        animation frame (reference movie.py:31-38) even though only the
+        camera moves; here the sensor plane lives OUTSIDE the BVH (it is
+        intersected separately, ops/intersect.py:intersect_scene), so a
+        camera move just swaps a handful of rows.
         """
-        raise NotImplementedError(
-            "v1: use create_scene(); camera-only fast path lands with the "
-            "two-level BVH"
+        from .geometry import camera_geometry
+
+        cam_soup = camera_geometry(camera)
+        ids = np.asarray(self.camera_tri_ids)
+        assert len(cam_soup) == len(ids)
+
+        data = dict(self.data)
+        data["camera"] = camera.to_pytree()
+
+        if "camtri" in data:
+            data["camtri"] = _camtri_arrays(cam_soup, ids)
+        if "brute" in data:
+            brute = dict(data["brute"])
+            v = cam_soup.vertices
+            brute["v0"] = brute["v0"].at[ids].set(jnp.asarray(v[:, 0]))
+            brute["e1"] = brute["e1"].at[ids].set(jnp.asarray(v[:, 1] - v[:, 0]))
+            brute["e2"] = brute["e2"].at[ids].set(jnp.asarray(v[:, 2] - v[:, 0]))
+            data["brute"] = brute
+
+        tri = dict(data["tri"])
+        fn = jnp.asarray(cam_soup.face_normals)
+        tri["face_normal"] = tri["face_normal"].at[ids].set(fn)
+        for k, col in (("n0", 0), ("n1", 1), ("n2", 2)):
+            tri[k] = tri[k].at[ids].set(
+                jnp.asarray(cam_soup.vertex_normals[:, col])
+            )
+        packed = tri["packed"]
+        rows = packed[ids]
+        rows = rows.at[:, 0:3].set(fn)
+        rows = rows.at[:, 3:6].set(jnp.asarray(cam_soup.vertex_normals[:, 0]))
+        rows = rows.at[:, 6:9].set(jnp.asarray(cam_soup.vertex_normals[:, 1]))
+        rows = rows.at[:, 9:12].set(jnp.asarray(cam_soup.vertex_normals[:, 2]))
+        tri["packed"] = packed.at[ids].set(rows)
+        data["tri"] = tri
+
+        new = dataclasses.replace(
+            self, camera=camera, data=data,
+            pixel_width=camera.pixel_width, pixel_height=camera.pixel_height,
         )
+        new.build_seconds = 0.0
+        return new
+
+
+def _camtri_arrays(cam_soup, ids):
+    v = cam_soup.vertices
+    return dict(
+        v0=jnp.asarray(v[:, 0]),
+        e1=jnp.asarray(v[:, 1] - v[:, 0]),
+        e2=jnp.asarray(v[:, 2] - v[:, 0]),
+        ids=jnp.asarray(ids.astype(np.int32)),
+    )
 
 
 def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
                         camera: Camera) -> Dict[str, Any]:
-    bvh = build_bvh(soup)
-    leafs = leaf_tables(bvh, soup)
+    # The sensor plane stays OUT of the BVH: it would bloat the root AABB
+    # (the camera can sit far from the scene) and it moves every animation
+    # frame.  BVH-path scenes intersect it separately (data["camtri"]);
+    # brute-path scenes keep it in the dense triangle list.
+    cam_ids = np.nonzero(soup.is_camera)[0]
+    world_sel = np.nonzero(~soup.is_camera)[0]
+    world = soup.select(world_sel)
+
+    bvh = build_bvh(world)
+    leafs = leaf_tables(bvh, world)
+    # leaf tri ids are world-local; remap to global soup ids
+    leafs["tri_index"] = np.where(
+        leafs["tri_index"] >= 0,
+        world_sel[np.minimum(leafs["tri_index"], len(world) - 1)],
+        -1,
+    ).astype(np.int32)
 
     dev = lambda a: jnp.asarray(a)
     tri = dict(
@@ -146,20 +210,22 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
     if brute is not None:
         data["brute"] = brute
     else:
+        # the sensor plane is intersected separately from the BVH
+        data["camtri"] = _camtri_arrays(soup.select(cam_ids), cam_ids)
         # mid-size scenes use the v2 Pallas packet-traversal kernel when the
         # node records fit SMEM (~1 MB) and the leaf table fits its VMEM
         # budget; huge scenes fall back to the XLA gather walk (HBM-resident
         # leaf streaming kernel is future work)
         from .ops import traverse_pallas2 as tp2
 
-        packed = tp2.pack_bvh2(bvh, soup)
+        packed = tp2.pack_bvh2(bvh, world, leaf=leafs)
         if (
             tp2.smem_bytes(packed) <= PALLAS_SMEM_BUDGET
             and tp2.vmem_bytes(packed) <= PALLAS_VMEM_BUDGET
             and _on_tpu()
         ):
             data["pallas"] = {k: dev(v) for k, v in packed.items()}
-    return data, bvh
+    return data, bvh, cam_ids
 
 
 def create_scene(
@@ -198,7 +264,9 @@ def create_scene(
         )
 
     t0 = time.time()
-    data, bvh = _build_scene_pytree(soup, materials or default_materials(), camera)
+    data, bvh, cam_ids = _build_scene_pytree(
+        soup, materials or default_materials(), camera
+    )
     build_s = time.time() - t0
 
     scene = Scene(
@@ -208,6 +276,7 @@ def create_scene(
         data=data,
         n_triangles=len(soup),
         n_nodes=bvh.n_nodes,
+        camera_tri_ids=cam_ids,
     )
     scene.build_seconds = build_s
     return scene
@@ -274,6 +343,21 @@ def create_scene_from_preset(preset_name: str, pixel_width=1280,
         cam_center=preset["cam_center"],
         cam_direction=preset["cam_direction"],
         file_specs=preset.get("file_specs"),
+    )
+
+
+def orbit_camera(frame_idx: int, total_frames: int, pixel_width: int,
+                 pixel_height: int) -> Camera:
+    """Turntable camera on the reference's r=7.5 circle
+    (reference scene.py:234-237)."""
+    theta = 2 * np.pi * frame_idx / total_frames
+    return Camera(
+        center=np.array([np.sin(theta) * 7.5, 1.5, np.cos(theta) * 7.5]),
+        direction=np.array([-np.sin(theta), 0, -np.cos(theta)]),
+        pixel_width=pixel_width,
+        pixel_height=pixel_height,
+        phys_width=pixel_width / pixel_height,
+        phys_height=1.0,
     )
 
 
