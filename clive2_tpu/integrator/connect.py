@@ -120,6 +120,7 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
 
     cast_tri, cast_t, cast_active = jax.lax.map(cast, pair_arr)
     pair_index = {ts: i for i, ts in enumerate(pairs)}
+    pre = precompute_mis(CV, LV, mat, max_bounces)
 
     # ---- stage B: per-strategy MIS + contributions (static unroll) ---------
     contribution = jnp.zeros((n, 3), dtype=jnp.float32)
@@ -137,6 +138,7 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
                     cast_tri[pair_index[(t, s)]],
                     cast_t[pair_index[(t, s)]],
                     cast_active[pair_index[(t, s)]],
+                    pre,
                 )
                 pix, val, wgt = res
                 flat_light = flat_light.at[pix].add(val, mode="drop")
@@ -179,7 +181,17 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
                     color = camera_color * light_color
                     g = _geom(cv, lv)
 
-                w, p_s, ok = _mis_weight(t, s, CV, LV, cv, lv, mat, None)
+                light_tot = (
+                    jnp.ones_like(cv["tot_importance"]) if s == 0
+                    else lv["tot_importance"]
+                )
+                p_s = cv["tot_importance"] * light_tot
+                if s >= 1:
+                    delta = cv["origin"] - lv["origin"]
+                    d_x = jnp.maximum(dot(delta, delta), 1e-30)
+                else:
+                    d_x = None
+                w, p_s, ok = _mis_weight_fast(t, s, pre, p_s, Dx=d_x)
                 valid &= ok
                 contrib = (w * g / jnp.maximum(p_s, 1e-38))[:, None] * color
                 contribution += jnp.where(valid[:, None], contrib, 0.0)
@@ -195,7 +207,7 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
 
 
 def _strategy_t1(t, s, CV, LV, cam_len, light_len, scene, width, height,
-                 hit_i, hit_t, active):
+                 hit_i, hit_t, active, pre):
     """t=1: project light vertex s-1 onto the physical camera plane
     (world_ray_to_camera_ray, trace.metal:569-617) and emit a splat."""
     mat = scene["mat"]
@@ -235,7 +247,13 @@ def _strategy_t1(t, s, CV, LV, cam_len, light_len, scene, width, height,
 
     valid = active & is_cam_tri & pix_ok
 
-    w, p_s, ok = _mis_weight(t, s, CV, LV, cv, lv, mat, cv_synthetic=cv)
+    p_s = cv["tot_importance"] * lv["tot_importance"]  # synthetic tot = 1
+    delta = camera_point - lv["origin"]
+    d_x = jnp.maximum(dot(delta, delta), 1e-30)
+    w_synth = jnp.abs(dot(cv["direction"], cv["normal"]))
+    spec_synth = jnp.broadcast_to(mat["type"][7] > 0, w_synth.shape)
+    w, p_s, ok = _mis_weight_fast(t, s, pre, p_s, Dx=d_x, w_synth=w_synth,
+                                  spec_synth=spec_synth)
     valid &= ok
 
     dir_l_to_c = normalize(camera_point - lv["origin"])
@@ -253,6 +271,113 @@ def _strategy_t1(t, s, CV, LV, cam_len, light_len, scene, width, height,
     )
     pix_out = jnp.where(valid, pixel, width * height)  # OOB -> dropped
     return pix_out, jnp.where(valid[:, None], value, 0.0), jnp.where(valid, w, 0.0)
+
+
+def precompute_mis(CV, LV, mat, max_bounces: int):
+    """Shared MIS-chain terms, computed once per sample.
+
+    Every strategy's p_ratios decompose into per-vertex terms (cosine
+    weight w = |dot(dir, normal)|, the stored dual importances, specular
+    flags) and per-edge squared distances — identical across the 41
+    strategies except at the connection junction.  Precomputing them turns
+    each strategy chain from ~12 geometry evaluations into ~12 fused
+    multiplies (also shrinking the compile graph ~10x).
+    """
+    def per_path(V):
+        w = jnp.abs(jnp.sum(V["direction"] * V["normal"], axis=-1))  # [N, D]
+        matv = V["material"]
+        n, d = matv.shape
+        spec = (
+            gather_rows(mat["type"], matv.reshape(-1)).reshape(n, d) > 0
+        )
+        delta = V["origin"][:, 1:] - V["origin"][:, :-1]
+        dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-30)
+        return dict(
+            w=w,
+            l=V["l_importance"],
+            c=V["c_importance"],
+            spec=spec,
+            D=dist2,
+        )
+
+    return dict(L=per_path(LV), C=per_path(CV))
+
+
+def _mis_weight_fast(t, s, pre, p_s, Dx=None, w_synth=None, spec_synth=None):
+    """Balance-heuristic weight from precomputed terms.
+
+    Numerically mirrors :func:`_mis_weight` (the direct transcription of
+    trace.metal:693-776, kept as the test oracle): each ratio is formed as
+    num/den with the same factors and guards, only with the geometry terms
+    looked up instead of recomputed.
+
+    Dx: junction squared distance between light[s-1] and the camera-side
+    vertex (required when s >= 1); w_synth/spec_synth: cosine weight and
+    specular flag of the t=1 synthetic camera vertex (its material is
+    overwritten to the sensor slot, so the flag comes from the material
+    table, not the original camera vertex).
+    """
+    k = s + t
+    L, C = pre["L"], pre["C"]
+
+    def vert(i):
+        if i < s:
+            return L["w"][:, i], L["l"][:, i], L["c"][:, i], L["spec"][:, i]
+        j = t + s - 1 - i
+        if t == 1 and j == 0:
+            return w_synth, C["l"][:, 0], C["c"][:, 0], spec_synth
+        return C["w"][:, j], C["l"][:, j], C["c"][:, j], C["spec"][:, j]
+
+    def edge(e):
+        # squared distance between vx[e] and vx[e+1]
+        if e <= s - 2:
+            return L["D"][:, e]
+        if e == s - 1 and s >= 1:
+            return Dx
+        j = t + s - 2 - e  # camera edge (cam[j], cam[j+1])
+        return C["D"][:, j]
+
+    v = [vert(i) for i in range(k)]
+
+    ratios = []
+    for i in range(k):
+        if i == 0:
+            w0, l0, c0, _ = v[0]
+            w1 = v[1][0]
+            num = l0
+            den = c0 * (w0 * w1 / edge(0))
+        elif i == k - 1:
+            wk, lk, ck, _ = v[k - 1]
+            wp = v[k - 2][0]
+            num = lk * (wk * wp / edge(k - 2))
+            den = ck
+        else:
+            wi, li, ci, _ = v[i]
+            num = li * (v[i - 1][0] * wi / edge(i - 1))
+            den = ci * (wi * v[i + 1][0] / edge(i))
+        ratios.append(num / jnp.where(jnp.abs(den) > 1e-38, den, 1e-38))
+
+    p_values = [None] * (k + 1)
+    p_values[s] = p_s
+    for i in range(s, k):
+        p_values[i + 1] = p_values[i] * ratios[i]
+    for i in range(s - 1, -1, -1):
+        p_values[i] = p_values[i + 1] / jnp.where(
+            jnp.abs(ratios[i]) > 1e-38, ratios[i], 1e-38
+        )
+
+    for i in range(k):
+        p_values[i] = jnp.where(v[i][3], 0.0, p_values[i])
+        p_values[i + 1] = jnp.where(v[i][3], 0.0, p_values[i + 1])
+    p_values[k] = jnp.zeros_like(p_s)
+
+    total = p_values[0]
+    for i in range(1, k + 1):
+        total = total + p_values[i]
+
+    ok = (p_values[s] > 0.0) & (total > 0.0)
+    w = jnp.where(ok, p_values[s] / jnp.where(total > 0.0, total, 1.0), 0.0)
+    return w, p_s, ok
 
 
 def _mis_weight(t, s, CV, LV, cv, lv, mat, cv_synthetic=None):
