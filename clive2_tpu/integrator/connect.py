@@ -36,12 +36,12 @@ from ..ops.sampling import PI, dot, normalize
 
 
 def _take_d(tree, d):
-    """Index vertex d (possibly traced) out of [N, D, ...] path arrays."""
-    return jax.tree.map(lambda a: jnp.take(a, d, axis=1), tree)
+    """Index vertex d (possibly traced) out of [D, N, ...] path arrays."""
+    return jax.tree.map(lambda a: jnp.take(a, d, axis=0), tree)
 
 
 def _vstatic(tree, d: int):
-    return jax.tree.map(lambda a: a[:, d], tree)
+    return jax.tree.map(lambda a: a[d], tree)
 
 
 def _geom(a, b):
@@ -284,13 +284,13 @@ def precompute_mis(CV, LV, mat, max_bounces: int):
     multiplies (also shrinking the compile graph ~10x).
     """
     def per_path(V):
-        w = jnp.abs(jnp.sum(V["direction"] * V["normal"], axis=-1))  # [N, D]
+        w = jnp.abs(jnp.sum(V["direction"] * V["normal"], axis=-1))  # [D, N]
         matv = V["material"]
-        n, d = matv.shape
+        d, n = matv.shape
         spec = (
-            gather_rows(mat["type"], matv.reshape(-1)).reshape(n, d) > 0
+            gather_rows(mat["type"], matv.reshape(-1)).reshape(d, n) > 0
         )
-        delta = V["origin"][:, 1:] - V["origin"][:, :-1]
+        delta = V["origin"][1:] - V["origin"][:-1]
         dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-30)
         return dict(
             w=w,
@@ -322,20 +322,20 @@ def _mis_weight_fast(t, s, pre, p_s, Dx=None, w_synth=None, spec_synth=None):
 
     def vert(i):
         if i < s:
-            return L["w"][:, i], L["l"][:, i], L["c"][:, i], L["spec"][:, i]
+            return L["w"][i], L["l"][i], L["c"][i], L["spec"][i]
         j = t + s - 1 - i
         if t == 1 and j == 0:
-            return w_synth, C["l"][:, 0], C["c"][:, 0], spec_synth
-        return C["w"][:, j], C["l"][:, j], C["c"][:, j], C["spec"][:, j]
+            return w_synth, C["l"][0], C["c"][0], spec_synth
+        return C["w"][j], C["l"][j], C["c"][j], C["spec"][j]
 
     def edge(e):
         # squared distance between vx[e] and vx[e+1]
         if e <= s - 2:
-            return L["D"][:, e]
+            return L["D"][e]
         if e == s - 1 and s >= 1:
             return Dx
         j = t + s - 2 - e  # camera edge (cam[j], cam[j+1])
-        return C["D"][:, j]
+        return C["D"][j]
 
     v = [vert(i) for i in range(k)]
 

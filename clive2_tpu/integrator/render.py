@@ -40,7 +40,7 @@ def render_sample(key, scene, width: int, height: int,
     display = sum(image) / sum(weight) over samples (renderer.py:294-300).
     """
     cam = scene["camera"]
-    k_cam, k_light, k_tc, k_tl = jax.random.split(key, 4)
+    k_cam, k_light, k_trace = jax.random.split(key, 3)
 
     cam_rays, pixel_idx = generate_camera_rays(k_cam, cam, width, height)
     light_rays = generate_light_rays(
@@ -48,7 +48,6 @@ def render_sample(key, scene, width: int, height: int,
     )
 
     if mesh is not None:
-        spec = NamedSharding(mesh, P("tiles"))
         constrain = lambda tree: jax.tree.map(
             lambda a: jax.lax.with_sharding_constraint(
                 a, NamedSharding(mesh, P(*(("tiles",) + (None,) * (a.ndim - 1))))
@@ -59,11 +58,31 @@ def render_sample(key, scene, width: int, height: int,
         light_rays = constrain(light_rays)
 
     sensor_pos = cam_rays["origin"]
+    n = width * height
 
-    cam_path = trace_subpaths(k_tc, cam_rays, scene, from_camera=True,
-                              max_bounces=max_bounces)
-    light_path = trace_subpaths(k_tl, light_rays, scene, from_camera=False,
-                                max_bounces=max_bounces)
+    # camera + light wavefronts trace as ONE merged scan (per-ray
+    # from_camera flag): one traversal-kernel instance, double-size packets
+    merged = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), cam_rays, light_rays
+    )
+    fc = jnp.concatenate(
+        [jnp.ones((n,), bool), jnp.zeros((n,), bool)], axis=0
+    )
+    path = trace_subpaths(k_trace, merged, scene, from_camera=fc,
+                          max_bounces=max_bounces)
+    half = lambda tree, sl: jax.tree.map(lambda a: a[:, sl], tree)
+    cam_path = dict(
+        vertices=half(path["vertices"], slice(0, n)),
+        valid=path["valid"][:, :n],
+        length=path["length"][:n],
+        n_rays=path["n_rays"],
+    )
+    light_path = dict(
+        vertices=half(path["vertices"], slice(n, 2 * n)),
+        valid=path["valid"][:, n:],
+        length=path["length"][n:],
+        n_rays=jnp.int32(0),
+    )
 
     uni = unidirectional_image(cam_path)
 

@@ -160,13 +160,19 @@ def _select_bounce(mat_type, f_lottery, fres, diffuse, reflect, transmit):
     return tuple(picks)
 
 
-def trace_subpaths(key, rays, pytree_scene, from_camera: bool,
+def trace_subpaths(key, rays, pytree_scene, from_camera,
                    max_bounces: int = MAX_BOUNCES):
     """Trace a wavefront of subpaths to ``max_bounces`` stored vertices.
 
-    Returns a path pytree:
-      vertices: dict of [N, D, ...] arrays (fields as in generate_* rays)
-      valid:    [N, D] bool — vertex d stored (reference path.length = count)
+    ``from_camera`` may be a python bool or a per-ray [N] bool array —
+    the latter lets camera and light wavefronts trace as ONE merged scan
+    (render.py does this: one traversal kernel instance instead of two,
+    double-size packets).
+
+    Returns a path pytree (depth-major layout — slicing one vertex level is
+    a contiguous read, which matters on HBM):
+      vertices: dict of [D, N, ...] arrays (fields as in generate_* rays)
+      valid:    [D, N] bool — vertex d stored (reference path.length = count)
       length:   [N] i32
 
     A vertex is stored only when its full bounce iteration completed,
@@ -177,9 +183,10 @@ def trace_subpaths(key, rays, pytree_scene, from_camera: bool,
     mat = pytree_scene["mat"]
 
     n = rays["origin"].shape[0]
-    fwd_pending0 = (
-        rays["c_importance"] if from_camera
-        else jnp.full((n,), 1.0 / (2.0 * PI), dtype=jnp.float32)
+    fc = jnp.broadcast_to(jnp.asarray(from_camera, dtype=bool), (n,))
+    fwd_pending0 = jnp.where(
+        fc, rays["c_importance"],
+        jnp.float32(1.0 / (2.0 * PI)),
     )
 
     def step(carry, depth):
@@ -240,12 +247,16 @@ def trace_subpaths(key, rays, pytree_scene, from_camera: bool,
         ok_m = (dot(wi, m) >= 0.0) & (dot(m, nrm) >= 0.0)
         fres = bsdf.fresnel(wi, m, ni, no)
 
-        diffuse = bsdf.diffuse_bounce(wi, nrm, from_camera, roll_b)
-        reflect = bsdf.reflect_bounce(wi, nrm, m, ni, no, alpha, from_camera)
-        transmit = bsdf.transmit_bounce(wi, nrm, m, ni, no, alpha, from_camera)
-        wo, f, c_p, l_p = _select_bounce(
+        # bounce fns return (fwd, rev) pdfs in camera convention; swap per
+        # ray for light-subpath lanes
+        diffuse = bsdf.diffuse_bounce(wi, nrm, True, roll_b)
+        reflect = bsdf.reflect_bounce(wi, nrm, m, ni, no, alpha, True)
+        transmit = bsdf.transmit_bounce(wi, nrm, m, ni, no, alpha, True)
+        wo, f, fwd_p, rev_p = _select_bounce(
             mat_type, roll_c, fres, diffuse, reflect, transmit
         )
+        c_p = jnp.where(fc, fwd_p, rev_p)
+        l_p = jnp.where(fc, rev_p, fwd_p)
 
         # throughput color rules (trace.metal:489-494)
         wi_fn = dot(wi, face_n)
@@ -265,20 +276,17 @@ def trace_subpaths(key, rays, pytree_scene, from_camera: bool,
         # finalize and emit the CURRENT vertex (reference stores path.rays[i]
         # only after the bounce at the new hit succeeded)
         emit = dict(cur)
-        if from_camera:
-            emit["l_importance"] = l_p
-            next_pending = c_p
-        else:
-            emit["c_importance"] = c_p
-            next_pending = l_p
+        emit["l_importance"] = jnp.where(fc, l_p, cur["l_importance"])
+        emit["c_importance"] = jnp.where(fc, cur["c_importance"], c_p)
+        next_pending = jnp.where(fc, c_p, l_p)
 
         new_cur = dict(
             origin=new_origin,
             direction=wo,
             normal=nrm,
             color=new_color,
-            c_importance=new_fwd if from_camera else cur["c_importance"] * 0 + 1.0,
-            l_importance=new_fwd if not from_camera else cur["l_importance"] * 0 + 1.0,
+            c_importance=jnp.where(fc, new_fwd, 1.0),
+            l_importance=jnp.where(fc, 1.0, new_fwd),
             tot_importance=new_tot,
             material=tri_mat.astype(jnp.int32),
             triangle=hit_i.astype(jnp.int32),
@@ -303,9 +311,8 @@ def trace_subpaths(key, rays, pytree_scene, from_camera: bool,
         step, carry0, jnp.arange(max_bounces), length=max_bounces
     )
     # scan stacks along axis 0 -> [D, N, ...]; transpose to [N, D, ...]
-    verts = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), verts)
-    valid = jnp.moveaxis(valid, 0, 1)
-    length = jnp.sum(valid.astype(jnp.int32), axis=1)
+    # scan stacks along axis 0 -> keep the natural [D, N, ...] layout
+    length = jnp.sum(valid.astype(jnp.int32), axis=0)
     # extension rays actually cast: one per vertex stored, plus the final
     # breaking cast per path (capped at max_bounces)
     n_rays = jnp.sum(jnp.minimum(length + 1, max_bounces).astype(jnp.int32))
@@ -316,13 +323,16 @@ def unidirectional_image(path):
     """s=0-style plain path-traced estimate from a camera path
     (trace.metal:523-528): first stored vertex that hit a light contributes
     prior color / tot_importance."""
-    hit_light = path["vertices"]["hit_light"]
+    hit_light = path["vertices"]["hit_light"]   # [D, N]
     valid = path["valid"]
     mask = valid & (hit_light >= 0)
-    has = jnp.any(mask, axis=1)
-    first = jnp.argmax(mask, axis=1)
-    rows = jnp.arange(hit_light.shape[0])
-    prior_color = path["vertices"]["color"][rows, jnp.maximum(first - 1, 0)]
-    tot = path["vertices"]["tot_importance"][rows, first]
-    out = prior_color / jnp.maximum(tot, 1e-30)[:, None]
+    has = jnp.any(mask, axis=0)
+    first = jnp.argmax(mask, axis=0)            # [N]
+    color = path["vertices"]["color"]           # [D, N, 3]
+    tot = path["vertices"]["tot_importance"]    # [D, N]
+    prior_color = jnp.take_along_axis(
+        color, jnp.maximum(first - 1, 0)[None, :, None], axis=0
+    )[0]
+    tot_first = jnp.take_along_axis(tot, first[None, :], axis=0)[0]
+    out = prior_color / jnp.maximum(tot_first, 1e-30)[:, None]
     return jnp.where(has[:, None], out, 0.0)

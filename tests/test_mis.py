@@ -15,13 +15,13 @@ N = 257
 def random_paths(rng):
     def path():
         v = dict(
-            origin=rng.normal(size=(N, D, 3)).astype(np.float32) * 3,
-            direction=rng.normal(size=(N, D, 3)).astype(np.float32),
-            normal=rng.normal(size=(N, D, 3)).astype(np.float32),
-            l_importance=rng.uniform(0.01, 2, size=(N, D)).astype(np.float32),
-            c_importance=rng.uniform(0.01, 2, size=(N, D)).astype(np.float32),
-            tot_importance=rng.uniform(0.01, 2, size=(N, D)).astype(np.float32),
-            material=rng.integers(0, 8, size=(N, D)).astype(np.int32),
+            origin=rng.normal(size=(D, N, 3)).astype(np.float32) * 3,
+            direction=rng.normal(size=(D, N, 3)).astype(np.float32),
+            normal=rng.normal(size=(D, N, 3)).astype(np.float32),
+            l_importance=rng.uniform(0.01, 2, size=(D, N)).astype(np.float32),
+            c_importance=rng.uniform(0.01, 2, size=(D, N)).astype(np.float32),
+            tot_importance=rng.uniform(0.01, 2, size=(D, N)).astype(np.float32),
+            material=rng.integers(0, 8, size=(D, N)).astype(np.int32),
         )
         for k in ("direction", "normal"):
             v[k] /= np.linalg.norm(v[k], axis=-1, keepdims=True)
