@@ -1,8 +1,8 @@
-"""Pallas TPU packet BVH traversal, v2.
+"""Pallas TPU packet BVH traversal.
 
-Evolution of traverse_pallas.py driven by measurement: v1 spent ~700
-cycles per node visit on dynamic-index VMEM scalar loads and loop
-overhead.  v2 changes:
+Design evolved by measurement (a first version kept whole node records in
+VMEM and spent ~700 cycles per node visit on dynamic-index scalar loads
+and loop overhead).  Current design:
 
   * Node records live in SMEM (scalar memory — built for exactly this
     access pattern).  A record holds BOTH children's AABBs, so one pop
@@ -54,8 +54,6 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act,
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     active = act[:] > 0.0
-
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
 
     def box_test(node, base, bt):
         off = node * 12 + base
@@ -142,6 +140,11 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act,
     def cond(c):
         return c[0] > 0
 
+    # representative packet origin for ordered (near-first) descent
+    rep_x = ox[0, 0]
+    rep_y = oy[0, 0]
+    rep_z = oz[0, 0]
+
     def body(c):
         sp, bt, bi, bu, bv = c
         node = stack[sp - 1]
@@ -160,17 +163,36 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act,
         push_b = any_b & (~b_leaf)
         push_a = any_a & (~a_leaf)
 
-        @pl.when(push_b)
+        # near-first ordering: pop the child whose box center is closer to
+        # the representative origin first (prunes the far subtree via the
+        # tightened best-t).  Scalar math only.
+        off = node * 12
+
+        def center_d2(base):
+            cx = (nodebox[off + base + 0] + nodebox[off + base + 3]) * 0.5 - rep_x
+            cy = (nodebox[off + base + 1] + nodebox[off + base + 4]) * 0.5 - rep_y
+            cz = (nodebox[off + base + 2] + nodebox[off + base + 5]) * 0.5 - rep_z
+            return cx * cx + cy * cy + cz * cz
+
+        a_near = center_d2(0) <= center_d2(6)
+        both = push_a & push_b
+        first = jnp.where(a_near, cb, ca)    # far pushed first
+        second = jnp.where(a_near, ca, cb)   # near pushed last -> popped first
+
+        @pl.when(both)
+        def _():
+            stack[sp] = first
+            stack[sp + 1] = second
+
+        @pl.when(push_b & ~both)
         def _():
             stack[sp] = cb
 
-        sp_b = sp + push_b.astype(jnp.int32)
-
-        @pl.when(push_a)
+        @pl.when(push_a & ~both)
         def _():
-            stack[sp_b] = ca
+            stack[sp] = ca
 
-        sp_out = sp_b + push_a.astype(jnp.int32)
+        sp_out = sp + push_a.astype(jnp.int32) + push_b.astype(jnp.int32)
 
         bt, bi, bu, bv = jax.lax.cond(
             any_a & a_leaf,
