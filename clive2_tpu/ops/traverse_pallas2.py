@@ -74,8 +74,18 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act,
         return (tmin <= tmax) & active
 
     def leaf_tests(lid, box_hit, bt, bi, bu, bv):
-        """Transposed MT: [8 tris x 128 rays] per vector op."""
-        tile = leaff[pl.ds(lid * MAX_LEAF, MAX_LEAF), :]  # [8, 16]
+        """Transposed MT: [8 tris x 128 rays] per vector op.
+
+        The leaf table is stored attribute-major [16, n_slots] so VMEM lane
+        tiling wastes nothing (a slot-major [n_slots, 16] layout pads each
+        16-float row to 128 lanes — 8x the memory).  Mosaic only allows
+        128-aligned dynamic lane offsets, so: load the aligned 128-lane
+        group, roll the leaf's 8 slots to the front, transpose to the
+        tri-major [8, 16] tile."""
+        group = pl.multiple_of((lid // 16) * LANES, LANES)
+        wide = leaff[:, pl.ds(group, LANES)]               # [16, 128]
+        rolled = pltpu.roll(wide, shift=-(lid % 16) * MAX_LEAF, axis=1)
+        tile = rolled[:, 0:MAX_LEAF].T                     # [8, 16]
 
         def col(k):
             return jnp.broadcast_to(tile[:, k:k + 1], (SUBLANES, LANES))
@@ -361,6 +371,12 @@ def pack_bvh2(bvh, soup, leaf=None):
     leaff[:, 3:6] = tables["e1"].reshape(lk, 3)
     leaff[:, 6:9] = tables["e2"].reshape(lk, 3)
     leaff[:, 9] = tables["tri_index"].reshape(lk).astype(np.float32)
+    # attribute-major layout, lane dim padded to the 128-lane tile
+    lk_pad = ((lk + LANES - 1) // LANES) * LANES
+    leafT = np.zeros((LEAF_COLS, lk_pad), dtype=np.float32)
+    leafT[:, :lk] = leaff.T
+    leafT[9, lk:] = -1.0  # padding slots carry tri_idx = -1 (inert)
+    leaff = leafT
     return dict(
         nodebox=nodebox,
         childs=childs,
@@ -375,4 +391,9 @@ def smem_bytes(packed) -> int:
 
 
 def vmem_bytes(packed) -> int:
-    return int(packed["leaff"].size) * 4
+    """Actual VMEM footprint of the leaf table (attribute-major layout has
+    no lane-padding waste: 16 sublane-rows x n_slots lanes)."""
+    rows, cols = packed["leaff"].shape
+    padded_rows = ((rows + SUBLANES - 1) // SUBLANES) * SUBLANES
+    padded_cols = ((cols + LANES - 1) // LANES) * LANES
+    return padded_rows * padded_cols * 4

@@ -34,9 +34,11 @@ RESOURCE_DIR = os.environ.get(
 # (no BVH walk; see ops/intersect.py:intersect_brute_chunked)
 BRUTE_FORCE_MAX_TRIS = int(os.environ.get("CLIVE2_BRUTE_MAX_TRIS", 256))
 
-# budgets for the Pallas packet-traversal kernel's scene tables
-PALLAS_VMEM_BUDGET = int(os.environ.get("CLIVE2_PALLAS_VMEM", 4 * 2**20))
-PALLAS_SMEM_BUDGET = int(os.environ.get("CLIVE2_PALLAS_SMEM", 512 * 1024))
+# budgets for the Pallas packet-traversal kernel's scene tables (SMEM is
+# ~1 MB total on v5e and is the binding constraint: ~56 B per inner node
+# -> ceiling around 100k triangles; beyond that the gather walk runs)
+PALLAS_VMEM_BUDGET = int(os.environ.get("CLIVE2_PALLAS_VMEM", 9 * 2**20))
+PALLAS_SMEM_BUDGET = int(os.environ.get("CLIVE2_PALLAS_SMEM", 800 * 1024))
 
 
 def _on_tpu() -> bool:
