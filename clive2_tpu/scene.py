@@ -165,16 +165,9 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
     packed_attrs[:, 13] = soup.is_light
     packed_attrs[:, 14] = soup.is_camera
     tri["packed"] = dev(packed_attrs)
-    bvh_arrays = dict(
-        node_mins=dev(bvh.node_mins),
-        node_maxes=dev(bvh.node_maxes),
-        miss=dev(bvh.miss),
-        leaf_id=dev(bvh.leaf_id),
-        leaf_v0=dev(leafs["v0"]),
-        leaf_e1=dev(leafs["e1"]),
-        leaf_e2=dev(leafs["e2"]),
-        leaf_tri=dev(leafs["tri_index"]),
-    )
+    from .ops.intersect import pack_gather_walk
+
+    bvh_arrays = {k: dev(v) for k, v in pack_gather_walk(bvh, leafs).items()}
     # Small scenes skip the BVH at trace time entirely: dense chunked
     # Möller–Trumbore over all triangles has zero gathers and is faster on
     # TPU than any pointer walk (the dispatcher keys on this entry's

@@ -128,3 +128,30 @@ def test_cornell_box_hits_from_inside():
     # room is [-10,-2,-10]..[10,10,10]: +y first hits the light at 0.95*10
     np.testing.assert_allclose(np.asarray(t)[2], 9.5, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(t)[3], 2.0, rtol=1e-4)
+
+
+def test_packed_walk_matches_oracle(rng):
+    """The packed-row gather walk must match the unpacked oracle."""
+    from clive2_tpu.bvh import build_bvh
+    from clive2_tpu.bvh.build import leaf_tables
+    from clive2_tpu.ops.intersect import intersect_bvh_packed, pack_gather_walk
+
+    base = rng.uniform(-8, 8, size=(400, 1, 3))
+    soup = TriangleSoup.from_vertices(
+        (base + rng.normal(size=(400, 3, 3))).astype(np.float32)
+    )
+    bvh = build_bvh(soup, use_native=False)
+    legacy = bvh_arrays_for(soup)
+    packed = {k: jnp.asarray(v)
+              for k, v in pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+
+    n = 512
+    origins = rng.uniform(-9, 9, size=(n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    a = intersect_bvh(jnp.asarray(origins), jnp.asarray(dirs), legacy)
+    b = intersect_bvh_packed(jnp.asarray(origins), jnp.asarray(dirs), packed)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    at, bt = np.asarray(a[1]), np.asarray(b[1])
+    m = np.asarray(a[0]) >= 0
+    np.testing.assert_allclose(at[m], bt[m], rtol=1e-6)

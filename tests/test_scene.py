@@ -32,10 +32,11 @@ def test_path_selection():
 def test_bvh_scene_renders_with_camtri(bvh_scene):
     assert "brute" not in bvh_scene.data
     assert "camtri" in bvh_scene.data
-    # camera triangles excluded from the BVH leaf tables
-    leaf_tri = np.asarray(bvh_scene.data["bvh"]["leaf_tri"])
+    # camera triangles excluded from the BVH leaf tables (packed layout:
+    # tri ids live at columns 9, 19, 29, ... of leaf_packed rows)
+    leaf_tri = np.asarray(bvh_scene.data["bvh"]["leaf_packed"])[:, 9::10]
     for cid in np.asarray(bvh_scene.camera_tri_ids):
-        assert cid not in leaf_tri
+        assert cid not in leaf_tri.astype(np.int64)
     import jax
 
     out = render_sample_jit(jax.random.key(0), bvh_scene.data, 24, 24)
