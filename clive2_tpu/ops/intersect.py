@@ -147,6 +147,11 @@ def intersect_scene(origin, direction, scene, active=None, sort=False):
     (``camtri``) and merge the closest hit — the sensor stays out of the
     BVH so camera moves never rebuild it (scene.py:Scene.with_camera).
     """
+    if "brute_pallas" in scene:
+        from .brute_pallas import intersect_brute_pallas
+
+        return intersect_brute_pallas(origin, direction,
+                                      scene["brute_pallas"], active=active)
     if "brute" in scene:
         return intersect_brute_chunked(origin, direction, scene["brute"],
                                        active=active)

@@ -28,10 +28,13 @@ def _make_step(width: int, height: int, max_bounces: int, mesh):
     every movie frame (movie.py:31-38); here frame N+1 reuses frame N's
     executable as long as shapes match."""
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def _step(key, state, scene_data):
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def _step(key, sample_idx, state, scene_data):
+        # fold_in traced INSIDE the step: an eager per-sample fold_in costs
+        # a full host dispatch (~30 ms measured) — here it fuses to nothing
         sample = render_sample(
-            key, scene_data, width, height, max_bounces, mesh=mesh
+            jax.random.fold_in(key, sample_idx),
+            scene_data, width, height, max_bounces, mesh=mesh,
         )
         return dict(
             summed_image=state["summed_image"] + sample["image"],
@@ -61,8 +64,8 @@ class Renderer:
     def run_sample(self):
         """One progressive BDPT sample over every pixel
         (reference renderer.py:280-291)."""
-        sample_key = jax.random.fold_in(self.key, self.samples)
-        self.state = self._step(sample_key, self.state, self.scene.data)
+        idx = jnp.uint32(self.samples)
+        self.state = self._step(self.key, idx, self.state, self.scene.data)
         self.samples += 1
 
     def block(self):

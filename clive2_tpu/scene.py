@@ -90,6 +90,16 @@ class Scene:
             brute["e1"] = brute["e1"].at[ids].set(jnp.asarray(v[:, 1] - v[:, 0]))
             brute["e2"] = brute["e2"].at[ids].set(jnp.asarray(v[:, 2] - v[:, 0]))
             data["brute"] = brute
+        if "brute_pallas" in data:
+            bp = dict(data["brute_pallas"])
+            v = cam_soup.vertices
+            rows = np.zeros((len(ids), 10), np.float32)
+            rows[:, 0:3] = v[:, 0]
+            rows[:, 3:6] = v[:, 1] - v[:, 0]
+            rows[:, 6:9] = v[:, 2] - v[:, 0]
+            tris = bp["tris"].reshape(-1, 10)
+            bp["tris"] = tris.at[ids].set(jnp.asarray(rows)).reshape(-1)
+            data["brute_pallas"] = bp
 
         tri = dict(data["tri"])
         fn = jnp.asarray(cam_soup.face_normals)
@@ -173,16 +183,22 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
     # TPU than any pointer walk (the dispatcher keys on this entry's
     # presence, ops/intersect.py:intersect_scene).
     brute = None
+    brute_pallas = None
     if len(soup) <= BRUTE_FORCE_MAX_TRIS:
-        chunk = 32
-        t_pad = max(chunk, ((len(soup) + chunk - 1) // chunk) * chunk)
-        v0 = np.zeros((t_pad, 3), np.float32)
-        e1 = np.zeros((t_pad, 3), np.float32)
-        e2 = np.zeros((t_pad, 3), np.float32)
-        v0[: len(soup)] = soup.vertices[:, 0]
-        e1[: len(soup)] = soup.vertices[:, 1] - soup.vertices[:, 0]
-        e2[: len(soup)] = soup.vertices[:, 2] - soup.vertices[:, 0]
-        brute = dict(v0=dev(v0), e1=dev(e1), e2=dev(e2))
+        if _on_tpu():
+            from .ops.brute_pallas import pack_brute
+
+            brute_pallas = {k: dev(v) for k, v in pack_brute(soup).items()}
+        else:
+            chunk = 32
+            t_pad = max(chunk, ((len(soup) + chunk - 1) // chunk) * chunk)
+            v0 = np.zeros((t_pad, 3), np.float32)
+            e1 = np.zeros((t_pad, 3), np.float32)
+            e2 = np.zeros((t_pad, 3), np.float32)
+            v0[: len(soup)] = soup.vertices[:, 0]
+            e1[: len(soup)] = soup.vertices[:, 1] - soup.vertices[:, 0]
+            e2[: len(soup)] = soup.vertices[:, 2] - soup.vertices[:, 0]
+            brute = dict(v0=dev(v0), e1=dev(e1), e2=dev(e2))
 
     light_sel = np.nonzero(soup.is_light)[0]
     areas = soup.surface_areas()[light_sel]
@@ -202,7 +218,9 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
         lights=lights,
         camera=camera.to_pytree(),
     )
-    if brute is not None:
+    if brute_pallas is not None:
+        data["brute_pallas"] = brute_pallas
+    elif brute is not None:
         data["brute"] = brute
     else:
         # the sensor plane is intersected separately from the BVH
