@@ -22,11 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
+    import functools
+
     import jax
+    import jax.numpy as jnp
 
     import clive2_tpu as c2
     from clive2_tpu import constants
-    from clive2_tpu.integrator.render import render_sample_jit
+    from clive2_tpu.integrator.render import render_sample
 
     constants.TIMED_ENABLED = False
 
@@ -39,19 +42,24 @@ def main():
                                         pixel_height=height)
     key = jax.random.key(0)
 
+    @jax.jit
+    def step(key, i, scene_data):
+        return render_sample(
+            jax.random.fold_in(key, i), scene_data, width, height
+        )
+
     # compile + warmup (first sample includes jit)
-    out = render_sample_jit(jax.random.fold_in(key, 0), scene.data, width, height)
+    out = step(key, jnp.uint32(0), scene.data)
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    total_rays = 0
+    n_rays_handles = []
     for i in range(1, samples + 1):
-        out = render_sample_jit(
-            jax.random.fold_in(key, i), scene.data, width, height
-        )
-        total_rays += int(out["n_rays"])
+        out = step(key, jnp.uint32(i), scene.data)
+        n_rays_handles.append(out["n_rays"])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    total_rays = int(sum(int(h) for h in n_rays_handles))
 
     mrays = total_rays / dt / 1e6
     baseline = 100.0  # north-star Mrays/s/chip
