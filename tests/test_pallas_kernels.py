@@ -1,0 +1,142 @@
+"""Pallas-kernel equivalence tests (interpret mode, CPU-runnable).
+
+The two TPU kernels — the SMEM dense-MT brute kernel (ops/brute_pallas.py)
+and the v2 packet-traversal kernel (ops/traverse_pallas2.py) — are gated
+behind _on_tpu() at scene-build time, so the regular CPU suite never
+executes their kernel bodies.  These tests run them under
+``pltpu.force_tpu_interpret_mode()`` against the pure-XLA oracles
+(intersect_brute / intersect_bvh_packed), covering active masks, the
+Morton ``sort=True`` scatter-back, and leaf-padding edges.
+
+Oracle relationship (SURVEY §4): traversal result == brute-force result
+over the triangle list; intersect_bvh_packed is itself oracle-tested in
+test_intersect.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from clive2_tpu.bvh.build import build_bvh, leaf_tables
+from clive2_tpu.geometry import TriangleSoup
+from clive2_tpu.ops import brute_pallas as bp
+from clive2_tpu.ops import traverse_pallas2 as tp2
+from clive2_tpu.ops.intersect import (
+    intersect_brute,
+    intersect_bvh_packed,
+    pack_gather_walk,
+)
+
+
+def _random_soup(rng, t, spread=5.0, size=0.4):
+    centers = rng.uniform(-spread, spread, (t, 1, 3))
+    tris = centers + rng.uniform(-size, size, (t, 3, 3))
+    return TriangleSoup.from_vertices(tris.astype(np.float32))
+
+
+def _random_rays(rng, n, spread=8.0):
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _assert_hits_equal(got, want, label):
+    gi, gt, gu, gv = (np.asarray(a) for a in got)
+    wi, wt, wu, wv = (np.asarray(a) for a in want)
+    np.testing.assert_array_equal(gi, wi, err_msg=f"{label}: tri ids")
+    hit = wi >= 0
+    np.testing.assert_allclose(gt[hit], wt[hit], rtol=2e-5, atol=2e-5,
+                               err_msg=f"{label}: t")
+    np.testing.assert_allclose(gu[hit], wu[hit], rtol=2e-4, atol=2e-4,
+                               err_msg=f"{label}: u")
+    np.testing.assert_allclose(gv[hit], wv[hit], rtol=2e-4, atol=2e-4,
+                               err_msg=f"{label}: v")
+    assert not np.isfinite(gt[~hit]).any(), f"{label}: finite t on misses"
+
+
+class TestBrutePallas:
+    def test_matches_brute_oracle(self, rng):
+        soup = _random_soup(rng, 37)  # not a multiple of the SMEM stride
+        o, d = _random_rays(rng, 700)
+        packed = {k: jnp.asarray(v) for k, v in bp.pack_brute(soup).items()}
+        with pltpu.force_tpu_interpret_mode():
+            got = bp.intersect_brute_pallas(o, d, packed)
+        want = intersect_brute(o, d, jnp.asarray(soup.vertices))
+        _assert_hits_equal(got, want, "brute_pallas")
+
+    def test_active_mask(self, rng):
+        soup = _random_soup(rng, 24)
+        o, d = _random_rays(rng, 300)
+        active = jnp.asarray(rng.uniform(size=300) < 0.5)
+        packed = {k: jnp.asarray(v) for k, v in bp.pack_brute(soup).items()}
+        with pltpu.force_tpu_interpret_mode():
+            gi, gt, _, _ = bp.intersect_brute_pallas(o, d, packed,
+                                                     active=active)
+        act = np.asarray(active)
+        assert (np.asarray(gi)[~act] == -1).all()
+        assert not np.isfinite(np.asarray(gt)[~act]).any()
+        want_i, _, _, _ = intersect_brute(o, d, jnp.asarray(soup.vertices))
+        np.testing.assert_array_equal(np.asarray(gi)[act],
+                                      np.asarray(want_i)[act])
+
+
+class TestTraversePallas2:
+    @pytest.mark.parametrize("t", [41, 600])  # 41: ragged final leaf
+    def test_matches_gather_walk(self, rng, t):
+        soup = _random_soup(rng, t)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tp2.pack_bvh2(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 1100)  # not a multiple of BLOCK_RAYS
+        with pltpu.force_tpu_interpret_mode():
+            got = tp2.intersect_pallas2(o, d, packed)
+        want = intersect_bvh_packed(o, d, ga)
+        _assert_hits_equal(got, want, f"pallas2 t={t}")
+
+    def test_active_mask_and_sort(self, rng):
+        """Morton sort=True must scatter results back to original ray order,
+        with inactive rays reporting misses."""
+        soup = _random_soup(rng, 200)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tp2.pack_bvh2(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 900)
+        active = jnp.asarray(rng.uniform(size=900) < 0.6)
+        with pltpu.force_tpu_interpret_mode():
+            gi, gt, gu, gv = tp2.intersect_pallas2(o, d, packed,
+                                                   active=active, sort=True)
+        wi, wt, wu, wv = intersect_bvh_packed(o, d, ga, active=active)
+        _assert_hits_equal((gi, gt, gu, gv), (wi, wt, wu, wv),
+                           "pallas2 sorted+masked")
+
+    def test_cornell_scene_tables(self):
+        """The actual scene-build leaf remapping path: pack_bvh2 with
+        precomputed (globally remapped) leaf tables must agree with the
+        remapped gather walk — the exact configuration render-time uses."""
+        import clive2_tpu as c2
+
+        scene = c2.create_scene_from_preset("empty", pixel_width=16,
+                                            pixel_height=16)
+        # rebuild the world BVH exactly as scene.py does
+        from clive2_tpu.geometry import box_geometry, camera_geometry
+
+        soup = camera_geometry(scene.camera) + box_geometry()
+        world = soup.select(np.nonzero(~soup.is_camera)[0])
+        bvh = build_bvh(world)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tp2.pack_bvh2(bvh, world).items()}
+
+        rng = np.random.default_rng(7)
+        o, d = _random_rays(rng, 600, spread=4.0)
+        with pltpu.force_tpu_interpret_mode():
+            got = tp2.intersect_pallas2(o, d, packed, sort=True)
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, world)).items()}
+        want = intersect_bvh_packed(o, d, ga)
+        _assert_hits_equal(got, want, "pallas2 cornell")
