@@ -160,6 +160,11 @@ def intersect_scene(origin, direction, scene, active=None, sort=False):
 
         hit = intersect_pallas2(origin, direction, scene["pallas"],
                                 active=active, sort=sort)
+    elif "stream" in scene:
+        from .traverse_stream import intersect_stream
+
+        hit = intersect_stream(origin, direction, scene["stream"],
+                               active=active, sort=sort)
     elif "node_packed" in scene["bvh"]:
         hit = intersect_bvh_packed(origin, direction, scene["bvh"],
                                    active=active)

@@ -262,9 +262,18 @@ def _traverse_blocks(nodebox, childs, leaff, rays, n_blocks: int):
 
 def _morton_key(origin, direction, lo, hi, active=None):
     """Packet-coherence sort key: direction octant (3 bits) then 30-bit
-    3D Morton code of the quantized origin.  Sorting rays by this key
-    before packetization tightens per-packet frustums (measured ~2x on
-    incoherent wavefronts, ~1.7x on row-major camera rays).
+    3D Morton code of the ray's ENTRY POINT into the scene box.  Sorting
+    rays by this key before packetization tightens per-packet frustums.
+
+    The entry point (origin advanced to the root-AABB boundary, or the
+    origin itself when it already lies inside) is coherent for both ray
+    regimes: camera rays share one origin but spread in direction — their
+    entry points tile the box surface — while bounce rays have origins
+    spread over scene surfaces, where entry == origin.  Keying on the raw
+    origin (the previous scheme) collapses every camera packet into the
+    same Morton cell, producing maximally divergent packets (measured 825
+    of 4986 fat-leaf visits per packet on the 327k-tri dragon vs ~30 with
+    entry-point keys).
 
     Inactive rays sort to the very end: the sort doubles as stream
     compaction — dead lanes collapse into all-dead packets whose shared
@@ -274,8 +283,20 @@ def _morton_key(origin, direction, lo, hi, active=None):
         + (direction[:, 1] > 0).astype(jnp.uint32) * 2
         + (direction[:, 2] > 0).astype(jnp.uint32)
     )
+    tiny = jnp.float32(1e-30)
+    inv = 1.0 / jnp.where(
+        jnp.abs(direction) < tiny,
+        jnp.where(direction < 0, -tiny, tiny),
+        direction,
+    )
+    t0 = (lo[None, :] - origin) * inv
+    t1 = (hi[None, :] - origin) * inv
+    t_enter = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
+    entry = origin + direction * jnp.nan_to_num(
+        t_enter, posinf=0.0, neginf=0.0
+    )[:, None]
     q = jnp.clip(
-        ((origin - lo) / jnp.maximum(hi - lo, 1e-6) * 1024).astype(jnp.uint32),
+        ((entry - lo) / jnp.maximum(hi - lo, 1e-6) * 1024).astype(jnp.uint32),
         0, 1023,
     )
 

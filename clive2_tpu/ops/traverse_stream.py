@@ -1,0 +1,498 @@
+"""Pallas TPU streaming packet traversal for large scenes (>100k tris).
+
+The v2 packet kernel (traverse_pallas2.py) keeps every inner node in SMEM
+(~56 B each) and the whole leaf table in VMEM, capping scenes around 100k
+triangles.  This kernel removes both ceilings with a two-level scheme:
+
+  * The SAH tree is CUT at subtrees holding <= 16 leaves (<= 128 triangles).
+    Only the top tree above the cuts lives in SMEM — ~56 B per 128
+    triangles, so ~1.8M triangles fit the 800 KB budget (bf16 boxes would
+    double that again).
+  * Each cut subtree becomes a "fat leaf": one [16, 128] f32 block in HBM
+    (attribute-major: rows 0-9 = v0/e1/e2/tri per slot, rows 10-15 = the
+    slot's sub-leaf AABB).  Slots group 8-by-8 into the cut subtree's
+    original SAH leaves, so the per-subtile AABBs retain full SAH culling
+    quality inside the fat leaf.
+  * Traversal runs in two interleaved phases: the node phase pops SMEM
+    inner nodes and, on hitting a fat-leaf child, STARTS an async DMA of
+    its block into a VMEM ring (NBUF slots) and keeps walking; the drain
+    phase (queue full or stack empty) waits the oldest DMA and runs the
+    transposed Möller-Trumbore over the block, subtile by subtile, with a
+    vectorized sub-leaf box prefilter that skips subtiles no ray reaches.
+    Node work and leaf work thus overlap the DMA latency by construction
+    (pallas_guide double-buffering pattern).
+
+Replaces the reference's size-independent per-thread stack traversal
+(/root/reference/src/trace.metal:144-176) for scenes the SMEM-resident
+kernel cannot hold.  Same contract as intersect_pallas2/intersect_bvh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import DELTA
+from .traverse_pallas2 import _morton_key
+
+SUBLANES = 8
+LANES = 128
+BLOCK_RAYS = SUBLANES * LANES          # 1024 rays per packet
+STACK_DEPTH = 192
+SUBTILES = 16                          # sub-leaves per fat leaf
+SUB_SLOTS = 8                          # triangles per sub-leaf
+FAT_TRIS = SUBTILES * SUB_SLOTS        # 128
+BLOCK_ROWS = 16                        # attribute rows per fat-leaf block
+NBUF = 4                               # DMA ring depth (power of two)
+INF = float("inf")
+
+
+def _kernel(nodebox, childs, leafblocks,
+            ox, oy, oz, dx, dy, dz, act,
+            out_t, out_i, out_u, out_v,
+            stack, blocks, sem):
+    tiny = jnp.float32(1e-30)
+
+    def inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < tiny,
+                               jnp.where(d < 0, -tiny, tiny), d)
+
+    invx, invy, invz = inv(dx[:]), inv(dy[:]), inv(dz[:])
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    active = act[:] > 0.0
+
+    # outputs double as the best-hit accumulators
+    out_t[:] = jnp.full((SUBLANES, LANES), INF, dtype=jnp.float32)
+    out_i[:] = jnp.full((SUBLANES, LANES), -1, dtype=jnp.int32)
+    out_u[:] = jnp.zeros((SUBLANES, LANES), dtype=jnp.float32)
+    out_v[:] = jnp.zeros((SUBLANES, LANES), dtype=jnp.float32)
+
+    def box_test(node, base, bt):
+        off = node * 12 + base
+        t0x = (nodebox[off + 0] - o_x) * invx
+        t1x = (nodebox[off + 3] - o_x) * invx
+        t0y = (nodebox[off + 1] - o_y) * invy
+        t1y = (nodebox[off + 4] - o_y) * invy
+        t0z = (nodebox[off + 2] - o_z) * invz
+        t1z = (nodebox[off + 5] - o_z) * invz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), bt),
+        )
+        return (tmin <= tmax) & active
+
+    # representative packet origin for ordered (near-first) descent
+    rep_x = ox[0, 0]
+    rep_y = oy[0, 0]
+    rep_z = oz[0, 0]
+
+    # ---- drain: wait the oldest DMA, intersect its block -------------------
+    def drain(qhead):
+        slot = qhead & (NBUF - 1)
+        pltpu.make_async_copy(
+            leafblocks.at[0], blocks.at[slot], sem.at[slot]
+        ).wait()
+        block = blocks[slot]                               # [16, 128]
+        bt0, bi0, bu0, bv0 = out_t[:], out_i[:], out_u[:], out_v[:]
+
+        def subtile(j, carry):
+            bt, bi, bu, bv = carry
+            rolled = pltpu.roll(block, shift=-j * SUB_SLOTS, axis=1)
+            tile = rolled[:, 0:SUB_SLOTS].T                # [8, 16]
+
+            def col(k):
+                return jnp.broadcast_to(tile[:, k:k + 1], (SUBLANES, LANES))
+
+            tri_f = col(9)
+            bmnx, bmny, bmnz = col(10), col(11), col(12)
+            bmxx, bmxy, bmxz = col(13), col(14), col(15)
+            has_tri = jnp.max(tile[:, 9]) >= 0.0
+
+            # sub-leaf AABB prefilter: per ray-group slab test against this
+            # subtile's box (all 8 tri-rows carry the same box values);
+            # doubles as the MT activity mask
+            masks = []
+            for g in range(SUBLANES):
+                row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
+                                                 (SUBLANES, LANES))
+                t0x = (bmnx - row(o_x)) * row(invx)
+                t1x = (bmxx - row(o_x)) * row(invx)
+                t0y = (bmny - row(o_y)) * row(invy)
+                t1y = (bmxy - row(o_y)) * row(invy)
+                t0z = (bmnz - row(o_z)) * row(invz)
+                t1z = (bmxz - row(o_z)) * row(invz)
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+                )
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), row(bt)),
+                )
+                amask = row(active.astype(jnp.float32)) > 0.0
+                masks.append((tmin <= tmax) & amask)
+
+            any_box = masks[0]
+            for g in range(1, SUBLANES):
+                any_box = any_box | masks[g]
+            go = jnp.any(any_box) & has_tri
+
+            def do_mt(carry):
+                bt, bi, bu, bv = carry
+                v0x, v0y, v0z = col(0), col(1), col(2)
+                e1x, e1y, e1z = col(3), col(4), col(5)
+                e2x, e2y, e2z = col(6), col(7), col(8)
+                rows_t, rows_i, rows_u, rows_v = [], [], [], []
+                for g in range(SUBLANES):
+                    row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
+                                                     (SUBLANES, LANES))
+                    rox, roy, roz = row(o_x), row(o_y), row(o_z)
+                    rdx, rdy, rdz = row(d_x), row(d_y), row(d_z)
+                    rbt = row(bt)
+
+                    hx = rdy * e2z - rdz * e2y
+                    hy = rdz * e2x - rdx * e2z
+                    hz = rdx * e2y - rdy * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    f = 1.0 / a
+                    sx = rox - v0x
+                    sy = roy - v0y
+                    sz = roz - v0z
+                    u = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = f * (rdx * qx + rdy * qy + rdz * qz)
+                    t = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (t > DELTA) & (t < rbt) & masks[g] & (tri_f >= 0.0)
+                    )
+                    t = jnp.where(ok, t, INF)
+                    tmin = jnp.min(t, axis=0, keepdims=True)       # [1, 128]
+                    found = tmin < rbt[0:1, :]
+                    is_best = (t == jnp.broadcast_to(tmin, t.shape)) & ok
+                    pick = lambda val: jnp.max(
+                        jnp.where(is_best, val, -jnp.float32(INF)),
+                        axis=0, keepdims=True,
+                    )
+                    sel_i = pick(tri_f)
+                    sel_u = pick(jnp.where(is_best, u, 0.0))
+                    sel_v = pick(jnp.where(is_best, v, 0.0))
+                    rows_t.append(jnp.where(found, tmin, bt[g:g + 1, :]))
+                    rows_i.append(jnp.where(
+                        found, sel_i.astype(jnp.int32), bi[g:g + 1, :]))
+                    rows_u.append(jnp.where(found, sel_u, bu[g:g + 1, :]))
+                    rows_v.append(jnp.where(found, sel_v, bv[g:g + 1, :]))
+                return (
+                    jnp.concatenate(rows_t, axis=0),
+                    jnp.concatenate(rows_i, axis=0),
+                    jnp.concatenate(rows_u, axis=0),
+                    jnp.concatenate(rows_v, axis=0),
+                )
+
+            return jax.lax.cond(go, do_mt, lambda c: c, (bt, bi, bu, bv))
+
+        bt, bi, bu, bv = jax.lax.fori_loop(
+            0, SUBTILES, subtile, (bt0, bi0, bu0, bv0)
+        )
+        out_t[:] = bt
+        out_i[:] = bi
+        out_u[:] = bu
+        out_v[:] = bv
+
+    # ---- node phase: pop SMEM nodes, DMA fat-leaf children -----------------
+    def node_phase(carry):
+        def cond(c):
+            sp, qhead, qcount = c
+            # leave room to enqueue both children of one pop
+            return (sp > 0) & (qcount < NBUF - 1)
+
+        def body(c):
+            sp, qhead, qcount = c
+            node = stack[sp - 1]
+            sp = sp - 1
+            bt = out_t[:]
+
+            hit_a = box_test(node, 0, bt)
+            hit_b = box_test(node, 6, bt)
+            any_a = jnp.any(hit_a)
+            any_b = jnp.any(hit_b)
+
+            ca = childs[node * 2]
+            cb = childs[node * 2 + 1]
+            a_leaf = ca < 0
+            b_leaf = cb < 0
+
+            push_b = any_b & (~b_leaf)
+            push_a = any_a & (~a_leaf)
+            enq_a = any_a & a_leaf
+            enq_b = any_b & b_leaf
+
+            off = node * 12
+
+            def center_d2(base):
+                cx = (nodebox[off + base + 0] + nodebox[off + base + 3]) \
+                    * 0.5 - rep_x
+                cy = (nodebox[off + base + 1] + nodebox[off + base + 4]) \
+                    * 0.5 - rep_y
+                cz = (nodebox[off + base + 2] + nodebox[off + base + 5]) \
+                    * 0.5 - rep_z
+                return cx * cx + cy * cy + cz * cz
+
+            a_near = center_d2(0) <= center_d2(6)
+            both = push_a & push_b
+            first = jnp.where(a_near, cb, ca)
+            second = jnp.where(a_near, ca, cb)
+
+            @pl.when(both)
+            def _():
+                stack[sp] = first
+                stack[sp + 1] = second
+
+            @pl.when(push_b & ~both)
+            def _():
+                stack[sp] = cb
+
+            @pl.when(push_a & ~both)
+            def _():
+                stack[sp] = ca
+
+            sp = sp + push_a.astype(jnp.int32) + push_b.astype(jnp.int32)
+
+            slot_a = (qhead + qcount) & (NBUF - 1)
+            slot_b = (qhead + qcount + enq_a.astype(jnp.int32)) & (NBUF - 1)
+
+            @pl.when(enq_a)
+            def _():
+                pltpu.make_async_copy(
+                    leafblocks.at[-(ca + 1)], blocks.at[slot_a],
+                    sem.at[slot_a],
+                ).start()
+
+            @pl.when(enq_b)
+            def _():
+                pltpu.make_async_copy(
+                    leafblocks.at[-(cb + 1)], blocks.at[slot_b],
+                    sem.at[slot_b],
+                ).start()
+
+            qcount = qcount + enq_a.astype(jnp.int32) + enq_b.astype(jnp.int32)
+            return sp, qhead, qcount
+
+        return jax.lax.while_loop(cond, body, carry)
+
+    stack[0] = 0
+
+    def outer_cond(c):
+        sp, qhead, qcount = c
+        return (sp > 0) | (qcount > 0)
+
+    def outer_body(c):
+        sp, qhead, qcount = node_phase(c)
+
+        @pl.when(qcount > 0)
+        def _():
+            drain(qhead)
+
+        qhead = jnp.where(qcount > 0, qhead + 1, qhead)
+        qcount = jnp.maximum(qcount - 1, 0)
+        return sp, qhead, qcount
+
+    jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(1), jnp.int32(0), jnp.int32(0)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "interpret"))
+def _traverse_blocks(nodebox, childs, leafblocks, rays, n_blocks: int,
+                     interpret: bool = False):
+    plane = lambda: pl.BlockSpec(
+        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    shape = (n_blocks * SUBLANES, LANES)
+    out_shape = [
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct(shape, jnp.int32),
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+    ]
+    return pl.pallas_call(
+        _kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # fat-leaf blocks: HBM
+        ] + [plane()] * 7,
+        out_specs=[plane()] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((NBUF, BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+        interpret=interpret,
+    )(nodebox, childs, leafblocks,
+      rays["ox"], rays["oy"], rays["oz"],
+      rays["dx"], rays["dy"], rays["dz"], rays["act"])
+
+
+def intersect_stream(origin, direction, packed, active=None, sort=False,
+                     interpret=False):
+    """Closest hit via the streaming kernel; same contract as
+    intersect_bvh.  ``sort`` reorders rays by octant+Morton for packet
+    coherence and scatters results back."""
+    if sort and "lo" in packed:
+        key = _morton_key(origin, direction, packed["lo"], packed["hi"],
+                          active=active)
+        order = jnp.argsort(key)
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype)
+        )
+        i, t, u, v = intersect_stream(
+            origin[order], direction[order], packed,
+            active=None if active is None else active[order], sort=False,
+            interpret=interpret,
+        )
+        return i[inv], t[inv], u[inv], v[inv]
+
+    n = origin.shape[0]
+    n_pad = max(BLOCK_RAYS, ((n + BLOCK_RAYS - 1) // BLOCK_RAYS) * BLOCK_RAYS)
+    n_blocks = n_pad // BLOCK_RAYS
+
+    def plane(x, fill):
+        flat = jnp.full((n_pad,), fill, dtype=jnp.float32).at[:n].set(x)
+        return flat.reshape(n_blocks * SUBLANES, LANES)
+
+    act = (jnp.ones((n,), jnp.float32) if active is None
+           else active.astype(jnp.float32))
+    rays = dict(
+        ox=plane(origin[:, 0], 0.0), oy=plane(origin[:, 1], 0.0),
+        oz=plane(origin[:, 2], 0.0),
+        dx=plane(direction[:, 0], 1.0), dy=plane(direction[:, 1], 0.0),
+        dz=plane(direction[:, 2], 0.0),
+        act=plane(act, 0.0),
+    )
+    t, i, u, v = _traverse_blocks(
+        packed["nodebox"], packed["childs"], packed["leafblocks"], rays,
+        n_blocks, interpret=interpret,
+    )
+    reshape = lambda a: a.reshape(n_pad)[:n]
+    return reshape(i), reshape(t), reshape(u), reshape(v)
+
+
+def pack_stream(bvh, soup, leaf=None, max_subleaves=SUBTILES):
+    """FlatBVH -> streaming layout: SMEM top tree + HBM fat-leaf blocks.
+
+    The tree is cut at the shallowest subtrees holding <= max_subleaves SAH
+    leaves; each cut becomes one [16, 128] fat-leaf block.  ``leaf`` accepts
+    precomputed (possibly id-remapped) leaf tables.
+    """
+    from ..bvh.build import leaf_tables
+
+    if bvh.max_leaf_size > SUB_SLOTS:
+        raise ValueError("pack_stream expects a tree built with leaves <= 8")
+    is_leaf = bvh.leaf_id >= 0
+    if is_leaf[0]:
+        raise ValueError("streaming kernel requires an inner root")
+    n_nodes = bvh.n_nodes
+
+    # leaves under each preorder subtree: subtree of fi spans [fi, miss[fi])
+    leaf_prefix = np.concatenate([[0], np.cumsum(is_leaf)])
+    leaves_under = leaf_prefix[bvh.miss] - leaf_prefix[np.arange(n_nodes)]
+    if leaves_under[0] <= max_subleaves:
+        raise ValueError("scene too small for the streaming kernel")
+
+    cut_of = np.full(n_nodes, -1, dtype=np.int64)   # node -> fat leaf id
+    cuts = []
+    stack = [0]
+    while stack:
+        fi = stack.pop()
+        if leaves_under[fi] <= max_subleaves:
+            cut_of[fi] = len(cuts)
+            cuts.append(fi)
+            continue
+        stack.append(int(bvh.right_child[fi]))
+        stack.append(fi + 1)
+
+    # top tree: inner nodes not under any cut, renumbered compactly
+    in_top = np.zeros(n_nodes, dtype=bool)
+    stack = [0]
+    while stack:
+        fi = stack.pop()
+        if cut_of[fi] >= 0:
+            continue
+        in_top[fi] = True
+        stack.append(int(bvh.right_child[fi]))
+        stack.append(fi + 1)
+    top = np.nonzero(in_top)[0]
+    top_ord = np.full(n_nodes, -1, dtype=np.int64)
+    top_ord[top] = np.arange(len(top))
+
+    left = top + 1
+    right = bvh.right_child[top].astype(np.int64)
+
+    def encode(child):
+        return np.where(
+            cut_of[child] >= 0, -(cut_of[child] + 1), top_ord[child]
+        )
+
+    childs = np.stack(
+        [encode(left), encode(right)], axis=1
+    ).astype(np.int32).ravel()
+
+    nodebox = np.zeros((len(top), 12), dtype=np.float32)
+    nodebox[:, 0:3] = bvh.node_mins[left]
+    nodebox[:, 3:6] = bvh.node_maxes[left]
+    nodebox[:, 6:9] = bvh.node_mins[right]
+    nodebox[:, 9:12] = bvh.node_maxes[right]
+    nodebox = nodebox.ravel()
+
+    tables = leaf_tables(bvh, soup) if leaf is None else leaf
+
+    # fat-leaf blocks: [n_fat, 16 rows, 128 slots]
+    n_fat = len(cuts)
+    blocks = np.zeros((n_fat, BLOCK_ROWS, FAT_TRIS), dtype=np.float32)
+    blocks[:, 9, :] = -1.0      # empty slots carry tri = -1
+    for f, root in enumerate(cuts):
+        sub = [fi for fi in range(root, int(bvh.miss[root])) if is_leaf[fi]]
+        assert 0 < len(sub) <= max_subleaves
+        for j, fi in enumerate(sub):
+            lid = int(bvh.leaf_id[fi])
+            c0 = j * SUB_SLOTS
+            blocks[f, 0:3, c0:c0 + SUB_SLOTS] = tables["v0"][lid].T
+            blocks[f, 3:6, c0:c0 + SUB_SLOTS] = tables["e1"][lid].T
+            blocks[f, 6:9, c0:c0 + SUB_SLOTS] = tables["e2"][lid].T
+            blocks[f, 9, c0:c0 + SUB_SLOTS] = tables["tri_index"][lid]
+            blocks[f, 10:13, c0:c0 + SUB_SLOTS] = \
+                bvh.node_mins[fi][:, None]
+            blocks[f, 13:16, c0:c0 + SUB_SLOTS] = \
+                bvh.node_maxes[fi][:, None]
+
+    return dict(
+        nodebox=nodebox,
+        childs=childs,
+        leafblocks=blocks,
+        lo=bvh.node_mins[0].astype(np.float32),
+        hi=bvh.node_maxes[0].astype(np.float32),
+    )
+
+
+def smem_bytes(packed) -> int:
+    return int(packed["nodebox"].size + packed["childs"].size) * 4
+
+
+def hbm_bytes(packed) -> int:
+    return int(packed["leafblocks"].size) * 4

@@ -227,17 +227,24 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
         data["camtri"] = _camtri_arrays(soup.select(cam_ids), cam_ids)
         # mid-size scenes use the v2 Pallas packet-traversal kernel when the
         # node records fit SMEM (~1 MB) and the leaf table fits its VMEM
-        # budget; huge scenes fall back to the XLA gather walk (HBM-resident
-        # leaf streaming kernel is future work)
+        # budget; larger scenes use the streaming kernel (SMEM top tree +
+        # HBM fat-leaf blocks, ops/traverse_stream.py) whose SMEM cost is
+        # ~56 B per 128 triangles; only beyond ~1.8M triangles does the
+        # XLA gather walk remain as the fallback.
         from .ops import traverse_pallas2 as tp2
+        from .ops import traverse_stream as tstream
 
-        packed = tp2.pack_bvh2(bvh, world, leaf=leafs)
-        if (
-            tp2.smem_bytes(packed) <= PALLAS_SMEM_BUDGET
-            and tp2.vmem_bytes(packed) <= PALLAS_VMEM_BUDGET
-            and _on_tpu()
-        ):
-            data["pallas"] = {k: dev(v) for k, v in packed.items()}
+        if _on_tpu():
+            packed = tp2.pack_bvh2(bvh, world, leaf=leafs)
+            if (
+                tp2.smem_bytes(packed) <= PALLAS_SMEM_BUDGET
+                and tp2.vmem_bytes(packed) <= PALLAS_VMEM_BUDGET
+            ):
+                data["pallas"] = {k: dev(v) for k, v in packed.items()}
+            else:
+                packed_s = tstream.pack_stream(bvh, world, leaf=leafs)
+                if tstream.smem_bytes(packed_s) <= PALLAS_SMEM_BUDGET:
+                    data["stream"] = {k: dev(v) for k, v in packed_s.items()}
     return data, bvh, cam_ids
 
 

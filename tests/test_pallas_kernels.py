@@ -22,6 +22,7 @@ from clive2_tpu.bvh.build import build_bvh, leaf_tables
 from clive2_tpu.geometry import TriangleSoup
 from clive2_tpu.ops import brute_pallas as bp
 from clive2_tpu.ops import traverse_pallas2 as tp2
+from clive2_tpu.ops import traverse_stream as tstream
 from clive2_tpu.ops.intersect import (
     intersect_brute,
     intersect_bvh_packed,
@@ -140,3 +141,40 @@ class TestTraversePallas2:
               pack_gather_walk(bvh, leaf_tables(bvh, world)).items()}
         want = intersect_bvh_packed(o, d, ga)
         _assert_hits_equal(got, want, "pallas2 cornell")
+
+
+class TestTraverseStream:
+    """Streaming (HBM fat-leaf DMA) kernel: ops/traverse_stream.py."""
+
+    def _packed(self, rng, t=2500):
+        soup = _random_soup(rng, t)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tstream.pack_stream(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        return soup, bvh, packed, ga
+
+    def test_matches_gather_walk(self, rng):
+        _, _, packed, ga = self._packed(rng)
+        o, d = _random_rays(rng, 1300)
+        got = tstream.intersect_stream(o, d, packed, interpret=True)
+        want = intersect_bvh_packed(o, d, ga)
+        _assert_hits_equal(got, want, "stream")
+
+    def test_active_mask_and_sort(self, rng):
+        _, _, packed, ga = self._packed(rng, t=600)
+        o, d = _random_rays(rng, 800)
+        active = jnp.asarray(rng.uniform(size=800) < 0.6)
+        got = tstream.intersect_stream(o, d, packed, active=active,
+                                       sort=True, interpret=True)
+        want = intersect_bvh_packed(o, d, ga, active=active)
+        _assert_hits_equal(got, want, "stream sorted+masked")
+
+    def test_cut_covers_all_triangles(self, rng):
+        """Every triangle appears in exactly one fat-leaf slot."""
+        soup, bvh, packed, _ = self._packed(rng, t=777)
+        tri = np.asarray(packed["leafblocks"])[:, 9, :].ravel()
+        tri = tri[tri >= 0].astype(np.int64)
+        assert len(tri) == len(soup)
+        assert len(np.unique(tri)) == len(soup)
