@@ -56,6 +56,7 @@ def _kernel(nodebox, childs, leafblocks,
             ox, oy, oz, dx, dy, dz, act,
             out_t, out_i, out_u, out_v,
             stack, blocks, sem):
+    n_subtiles = leafblocks.shape[2] // SUB_SLOTS
     tiny = jnp.float32(1e-30)
 
     def inv(d):
@@ -204,7 +205,7 @@ def _kernel(nodebox, childs, leafblocks,
             return jax.lax.cond(go, do_mt, lambda c: c, (bt, bi, bu, bv))
 
         bt, bi, bu, bv = jax.lax.fori_loop(
-            0, SUBTILES, subtile, (bt0, bi0, bu0, bv0)
+            0, n_subtiles, subtile, (bt0, bi0, bu0, bv0)
         )
         out_t[:] = bt
         out_i[:] = bi
@@ -340,7 +341,7 @@ def _traverse_blocks(nodebox, childs, leafblocks, rays, n_blocks: int,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.VMEM((NBUF, BLOCK_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((NBUF, BLOCK_ROWS, leafblocks.shape[2]), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
@@ -393,12 +394,15 @@ def intersect_stream(origin, direction, packed, active=None, sort=False,
     return reshape(i), reshape(t), reshape(u), reshape(v)
 
 
-def pack_stream(bvh, soup, leaf=None, max_subleaves=SUBTILES):
+def pack_stream(bvh, soup, leaf=None, blocks_per_leaf=1):
     """FlatBVH -> streaming layout: SMEM top tree + HBM fat-leaf blocks.
 
-    The tree is cut at the shallowest subtrees holding <= max_subleaves SAH
-    leaves; each cut becomes one [16, 128] fat-leaf block.  ``leaf`` accepts
-    precomputed (possibly id-remapped) leaf tables.
+    The tree is cut at the shallowest subtrees holding <= 16*blocks_per_leaf
+    SAH leaves; each cut becomes one [16, 128*blocks_per_leaf] fat-leaf
+    block (DMA'd whole).  Raising ``blocks_per_leaf`` halves the SMEM top
+    tree each doubling — the knob scene.py turns to fit huge scenes under
+    the SMEM budget.  ``leaf`` accepts precomputed (possibly id-remapped)
+    leaf tables.
     """
     from ..bvh.build import leaf_tables
 
@@ -408,36 +412,20 @@ def pack_stream(bvh, soup, leaf=None, max_subleaves=SUBTILES):
     if is_leaf[0]:
         raise ValueError("streaming kernel requires an inner root")
     n_nodes = bvh.n_nodes
+    max_subleaves = SUBTILES * blocks_per_leaf
 
     # leaves under each preorder subtree: subtree of fi spans [fi, miss[fi])
-    leaf_prefix = np.concatenate([[0], np.cumsum(is_leaf)])
-    leaves_under = leaf_prefix[bvh.miss] - leaf_prefix[np.arange(n_nodes)]
-    if leaves_under[0] <= max_subleaves:
-        raise ValueError("scene too small for the streaming kernel")
+    cut_mask, leaves_under = _cut_mask(bvh, max_subleaves)
+    cuts = np.nonzero(cut_mask)[0]                   # preorder fat-leaf order
+    cut_of = np.full(n_nodes, -1, dtype=np.int64)    # node -> fat leaf id
+    cut_of[cuts] = np.arange(len(cuts))
 
-    cut_of = np.full(n_nodes, -1, dtype=np.int64)   # node -> fat leaf id
-    cuts = []
-    stack = [0]
-    while stack:
-        fi = stack.pop()
-        if leaves_under[fi] <= max_subleaves:
-            cut_of[fi] = len(cuts)
-            cuts.append(fi)
-            continue
-        stack.append(int(bvh.right_child[fi]))
-        stack.append(fi + 1)
-
-    # top tree: inner nodes not under any cut, renumbered compactly
-    in_top = np.zeros(n_nodes, dtype=bool)
-    stack = [0]
-    while stack:
-        fi = stack.pop()
-        if cut_of[fi] >= 0:
-            continue
-        in_top[fi] = True
-        stack.append(int(bvh.right_child[fi]))
-        stack.append(fi + 1)
-    top = np.nonzero(in_top)[0]
+    # top tree: inner nodes above every cut, renumbered compactly
+    under = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.add.at(under, cuts, 1)
+    np.add.at(under, bvh.miss[cuts], -1)
+    under = np.cumsum(under[:-1]) > 0                # includes cut roots
+    top = np.nonzero(~is_leaf & ~under)[0]
     top_ord = np.full(n_nodes, -1, dtype=np.int64)
     top_ord[top] = np.arange(len(top))
 
@@ -462,24 +450,47 @@ def pack_stream(bvh, soup, leaf=None, max_subleaves=SUBTILES):
 
     tables = leaf_tables(bvh, soup) if leaf is None else leaf
 
-    # fat-leaf blocks: [n_fat, 16 rows, 128 slots]
+    # fat-leaf blocks [n_fat, 16 rows, 128*blocks_per_leaf slots], filled
+    # with one vectorized scatter per attribute (a python loop over fat
+    # leaves costs minutes at 1M+ triangles).
     n_fat = len(cuts)
-    blocks = np.zeros((n_fat, BLOCK_ROWS, FAT_TRIS), dtype=np.float32)
-    blocks[:, 9, :] = -1.0      # empty slots carry tri = -1
-    for f, root in enumerate(cuts):
-        sub = [fi for fi in range(root, int(bvh.miss[root])) if is_leaf[fi]]
-        assert 0 < len(sub) <= max_subleaves
-        for j, fi in enumerate(sub):
-            lid = int(bvh.leaf_id[fi])
-            c0 = j * SUB_SLOTS
-            blocks[f, 0:3, c0:c0 + SUB_SLOTS] = tables["v0"][lid].T
-            blocks[f, 3:6, c0:c0 + SUB_SLOTS] = tables["e1"][lid].T
-            blocks[f, 6:9, c0:c0 + SUB_SLOTS] = tables["e2"][lid].T
-            blocks[f, 9, c0:c0 + SUB_SLOTS] = tables["tri_index"][lid]
-            blocks[f, 10:13, c0:c0 + SUB_SLOTS] = \
-                bvh.node_mins[fi][:, None]
-            blocks[f, 13:16, c0:c0 + SUB_SLOTS] = \
-                bvh.node_maxes[fi][:, None]
+    leaf_nodes = np.nonzero(is_leaf)[0]              # preorder leaf order
+    # cut subtrees are disjoint, contiguous preorder ranges [c, miss[c])
+    # that jointly cover every leaf -> the covering cut is the last cut
+    # root at or before the leaf
+    fat_ids = np.searchsorted(cuts, leaf_nodes, side="right") - 1
+    if not ((fat_ids >= 0).all()
+            and (leaf_nodes < bvh.miss[cuts[fat_ids]]).all()):
+        raise AssertionError("leaf outside every cut subtree")
+    # rank of each leaf within its fat leaf (leaf_nodes are preorder, and
+    # each cut's leaves are contiguous in preorder)
+    first_of_fat = np.full(n_fat, len(leaf_nodes), dtype=np.int64)
+    np.minimum.at(first_of_fat, fat_ids, np.arange(len(leaf_nodes)))
+    sub_idx = np.arange(len(leaf_nodes)) - first_of_fat[fat_ids]
+    assert (sub_idx >= 0).all() and (sub_idx < max_subleaves).all()
+
+    lids = bvh.leaf_id[leaf_nodes]
+    grid = lambda: np.zeros((n_fat, max_subleaves, SUB_SLOTS), np.float32)
+
+    def scatter(vals):                                # vals [L, 8]
+        g = grid()
+        g[fat_ids, sub_idx] = vals
+        return g.reshape(n_fat, max_subleaves * SUB_SLOTS)
+
+    cols = max_subleaves * SUB_SLOTS
+    blocks = np.zeros((n_fat, BLOCK_ROWS, cols), dtype=np.float32)
+    for a in range(3):
+        blocks[:, 0 + a] = scatter(tables["v0"][lids][:, :, a])
+        blocks[:, 3 + a] = scatter(tables["e1"][lids][:, :, a])
+        blocks[:, 6 + a] = scatter(tables["e2"][lids][:, :, a])
+        blocks[:, 10 + a] = scatter(
+            np.repeat(bvh.node_mins[leaf_nodes][:, a:a + 1], SUB_SLOTS, 1))
+        blocks[:, 13 + a] = scatter(
+            np.repeat(bvh.node_maxes[leaf_nodes][:, a:a + 1], SUB_SLOTS, 1))
+    tri9 = grid()
+    tri9[:] = -1.0                                    # empty slots: tri = -1
+    tri9[fat_ids, sub_idx] = tables["tri_index"][lids]
+    blocks[:, 9] = tri9.reshape(n_fat, cols)
 
     return dict(
         nodebox=nodebox,
@@ -488,6 +499,37 @@ def pack_stream(bvh, soup, leaf=None, max_subleaves=SUBTILES):
         lo=bvh.node_mins[0].astype(np.float32),
         hi=bvh.node_maxes[0].astype(np.float32),
     )
+
+
+def _cut_mask(bvh, max_subleaves):
+    """Vectorized subtree cut: a node is a fat-leaf root iff its subtree
+    holds <= max_subleaves leaves and its parent's holds more."""
+    n_nodes = bvh.n_nodes
+    is_leaf = bvh.leaf_id >= 0
+    leaf_prefix = np.concatenate([[0], np.cumsum(is_leaf)])
+    leaves_under = leaf_prefix[bvh.miss] - leaf_prefix[np.arange(n_nodes)]
+    if leaves_under[0] <= max_subleaves:
+        raise ValueError("scene too small for the streaming kernel")
+    inner = np.nonzero(~is_leaf)[0]
+    parent = np.zeros(n_nodes, dtype=np.int64)       # root's stays 0
+    parent[inner + 1] = inner
+    parent[bvh.right_child[inner]] = inner
+    cut_mask = (leaves_under <= max_subleaves) \
+        & (leaves_under[parent] > max_subleaves)
+    return cut_mask, leaves_under
+
+
+def smem_bytes_estimate(bvh, blocks_per_leaf=1) -> int:
+    """Top-tree SMEM cost of pack_stream WITHOUT building the blocks —
+    scene.py probes blocks_per_leaf with this before packing."""
+    cut_mask, _ = _cut_mask(bvh, SUBTILES * blocks_per_leaf)
+    cuts = np.nonzero(cut_mask)[0]
+    under = np.zeros(bvh.n_nodes + 1, dtype=np.int64)
+    np.add.at(under, cuts, 1)
+    np.add.at(under, bvh.miss[cuts], -1)
+    under = np.cumsum(under[:-1]) > 0
+    n_top = int((~(bvh.leaf_id >= 0) & ~under).sum())
+    return n_top * 14 * 4                            # 12 box + 2 child words
 
 
 def smem_bytes(packed) -> int:

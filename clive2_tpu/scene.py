@@ -242,9 +242,19 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
             ):
                 data["pallas"] = {k: dev(v) for k, v in packed.items()}
             else:
-                packed_s = tstream.pack_stream(bvh, world, leaf=leafs)
-                if tstream.smem_bytes(packed_s) <= PALLAS_SMEM_BUDGET:
-                    data["stream"] = {k: dev(v) for k, v in packed_s.items()}
+                # coarsen the fat-leaf cut until the top tree fits SMEM
+                # (each doubling of blocks_per_leaf roughly halves it)
+                for k_blocks in (1, 2, 4, 8):
+                    if (tstream.smem_bytes_estimate(bvh, k_blocks)
+                            <= PALLAS_SMEM_BUDGET):
+                        packed_s = tstream.pack_stream(
+                            bvh, world, leaf=leafs,
+                            blocks_per_leaf=k_blocks,
+                        )
+                        data["stream"] = {
+                            k: dev(v) for k, v in packed_s.items()
+                        }
+                        break
     return data, bvh, cam_ids
 
 
@@ -347,6 +357,17 @@ scene_presets: Dict[str, dict] = {
         "file_specs": [
             {"file_path": _res("dragon_vrip.ply"),
              "offset": np.array([0, -4, 0]), "material": 5, "scale": 50},
+        ],
+    },
+    # BASELINE config #4 ("Sponza-scale ~1M tris, 1080p, 64+ spp"): a
+    # ~1.3M-triangle stand-in mesh (scripts/make_assets.py), diffuse
+    # material so the BVH depth — not glass bounces — is the stressor
+    "sponza": {
+        "cam_center": np.array([0, 1.5, 7.5]),
+        "cam_direction": np.array([0, 0, -1]),
+        "file_specs": [
+            {"file_path": _res("sponza_scale.ply"),
+             "offset": np.array([0, -4, 0]), "material": 4, "scale": 50},
         ],
     },
 }

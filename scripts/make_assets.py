@@ -35,6 +35,8 @@ def main():
         ("dragon_vrip_res3.ply", 4),   # ~5k tris  (real res3: ~47k)
         ("dragon_vrip_res2.ply", 6),   # ~82k tris (real res2: ~202k)
         ("dragon_vrip.ply", 7),        # ~327k tris (real: ~871k)
+        ("sponza_scale.ply", 8),       # ~1.3M tris (BASELINE config #4
+                                       #  "Sponza-scale ~1M tris" stand-in)
     ]:
         v, f = displaced_blob(subdivisions=subdiv)
         v = v * 0.06 + np.array([0.0, 0.085, 0.0])  # dragon-ish footprint

@@ -178,3 +178,18 @@ class TestTraverseStream:
         tri = tri[tri >= 0].astype(np.int64)
         assert len(tri) == len(soup)
         assert len(np.unique(tri)) == len(soup)
+
+    def test_multiblock_fat_leaves(self, rng):
+        """blocks_per_leaf=2 ([16, 256] DMA blocks) — the huge-scene
+        configuration scene.py selects when the top tree would bust SMEM."""
+        soup = _random_soup(rng, 2500)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tstream.pack_stream(bvh, soup, blocks_per_leaf=2).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 1100)
+        got = tstream.intersect_stream(o, d, packed, sort=True,
+                                       interpret=True)
+        want = intersect_bvh_packed(o, d, ga)
+        _assert_hits_equal(got, want, "stream 2-block")
