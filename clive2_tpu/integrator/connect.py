@@ -109,12 +109,24 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
         is_t1 = t == 1
         active = lens_ok & jnp.where(is_t1, t1_ok, gen_ok)
         direction = jnp.where(is_t1, proj_dir, dir_l_to_c)
+        # per-ray search caps (shadow-ray pruning): a general join only
+        # needs hits up to the camera-side vertex; a t=1 projection only
+        # up to the sensor plane.  Capping best-t before the walk prunes
+        # every subtree beyond the target (measured large on big scenes).
+        delta = cv["origin"] - lv["origin"]
+        d_gen = jnp.sqrt(jnp.maximum(dot(delta, delta), 0.0))
+        den = dot(proj_dir, cam["direction"][None, :])
+        num = dot(cam["center"][None, :] - lv["origin"],
+                  cam["direction"][None, :])
+        d_t1 = jnp.where(den < -1e-12, num / den, jnp.inf)
+        t_max = jnp.where(is_t1, d_t1, d_gen) * 1.001 + 1e-4
         # sort=True doubles as stream compaction here: most (t, s) casts
         # have low active fractions (strategy beyond the path's length),
         # and inactive-last Morton ordering collapses dead lanes into
         # packets that exit after one root test
         hit_i, hit_t, _, _ = intersect_scene(
-            lv["origin"], direction, scene, active=active, sort=True
+            lv["origin"], direction, scene, active=active, sort=True,
+            t_max=t_max,
         )
         return hit_i, hit_t, active
 

@@ -26,7 +26,7 @@ BLOCK_RAYS = SUBLANES * LANES
 INF = float("inf")
 
 
-def _kernel(tris, n_tris_ref, ox, oy, oz, dx, dy, dz, act,
+def _kernel(tris, n_tris_ref, ox, oy, oz, dx, dy, dz, act, tm,
             out_t, out_i, out_u, out_v):
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
@@ -70,8 +70,9 @@ def _kernel(tris, n_tris_ref, ox, oy, oz, dx, dy, dz, act,
         bv = jnp.where(ok, v, bv)
         return bt, bi, bu, bv
 
+    # best-t starts at the caller's per-ray cap (shadow-ray pruning)
     init = (
-        jnp.full((SUBLANES, LANES), INF, dtype=jnp.float32),
+        tm[:],
         jnp.full((SUBLANES, LANES), -1, dtype=jnp.int32),
         jnp.zeros((SUBLANES, LANES), dtype=jnp.float32),
         jnp.zeros((SUBLANES, LANES), dtype=jnp.float32),
@@ -101,15 +102,17 @@ def _run(tris, n_tris, rays, n_blocks: int):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ] + [plane()] * 7,
+        ] + [plane()] * 8,
         out_specs=[plane()] * 4,
         out_shape=out_shape,
     )(tris, n_tris, rays["ox"], rays["oy"], rays["oz"],
-      rays["dx"], rays["dy"], rays["dz"], rays["act"])
+      rays["dx"], rays["dy"], rays["dz"], rays["act"], rays["tm"])
 
 
-def intersect_brute_pallas(origin, direction, brute, active=None):
+def intersect_brute_pallas(origin, direction, brute, active=None,
+                           t_max=None):
     """Dense-MT kernel; same contract as intersect_brute_chunked.
+    ``t_max`` caps the search (misses still report t = inf).
 
     brute: dict(tris=[T*10] f32 SMEM table, n=[1] i32).
     """
@@ -122,23 +125,20 @@ def intersect_brute_pallas(origin, direction, brute, active=None):
         return flat.reshape(n_blocks * SUBLANES, LANES)
 
     act = jnp.ones((n,), jnp.float32) if active is None else active.astype(jnp.float32)
+    tm = jnp.full((n,), INF, dtype=jnp.float32) if t_max is None else t_max
     rays = dict(
         ox=plane(origin[:, 0], 0.0), oy=plane(origin[:, 1], 0.0),
         oz=plane(origin[:, 2], 0.0),
-        dx=plane(direction[:, 0], 1.0), dy=plane(direction[:, 1], 0.0),
+        dx=plane(direction[:, 0], 1.0),
+        dy=plane(direction[:, 1], 0.0),
         dz=plane(direction[:, 2], 0.0),
-        act=plane(act, 0.0),
+        act=plane(act, 0.0), tm=plane(tm, 0.0),
     )
     t, i, u, v = _run(brute["tris"], brute["n"], rays, n_blocks)
     reshape = lambda a: a.reshape(n_pad)[:n]
-    t = reshape(t)
-    found = jnp.isfinite(t)
-    return (
-        jnp.where(found, reshape(i), -1),
-        t,
-        reshape(u),
-        reshape(v),
-    )
+    i = reshape(i)
+    t = jnp.where(i >= 0, reshape(t), INF)   # capped misses -> inf
+    return i, t, reshape(u), reshape(v)
 
 
 def pack_brute(soup) -> dict:

@@ -85,7 +85,7 @@ def intersect_brute(origin, direction, tri_vertices):
 
 
 def intersect_brute_chunked(origin, direction, brute, active=None,
-                            chunk: int = 32):
+                            t_max=None, chunk: int = 32):
     """Closest hit by dense Möller–Trumbore over all triangles, chunked.
 
     For small scenes this beats any BVH on TPU: zero gathers, pure
@@ -125,7 +125,7 @@ def intersect_brute_chunked(origin, direction, brute, active=None,
         return best_t, best_i, best_u, best_v
 
     init = (
-        jnp.full(n, INF),
+        jnp.full(n, INF) if t_max is None else t_max,
         jnp.full(n, -1, dtype=jnp.int32),
         jnp.zeros(n, dtype=jnp.float32),
         jnp.zeros(n, dtype=jnp.float32),
@@ -133,11 +133,12 @@ def intersect_brute_chunked(origin, direction, brute, active=None,
     best_t, best_i, best_u, best_v = jax.lax.fori_loop(0, n_chunks, body, init)
     if active is not None:
         best_i = jnp.where(active, best_i, -1)
-        best_t = jnp.where(active, best_t, INF)
+    best_t = jnp.where(best_i >= 0, best_t, INF)
     return best_i, best_t, best_u, best_v
 
 
-def intersect_scene(origin, direction, scene, active=None, sort=False):
+def intersect_scene(origin, direction, scene, active=None, sort=False,
+                    t_max=None):
     """Static dispatch over the scene's traversal representation.
 
     The scene pytree's *structure* selects the implementation (structure is
@@ -151,25 +152,27 @@ def intersect_scene(origin, direction, scene, active=None, sort=False):
         from .brute_pallas import intersect_brute_pallas
 
         return intersect_brute_pallas(origin, direction,
-                                      scene["brute_pallas"], active=active)
+                                      scene["brute_pallas"], active=active,
+                                      t_max=t_max)
     if "brute" in scene:
         return intersect_brute_chunked(origin, direction, scene["brute"],
-                                       active=active)
+                                       active=active, t_max=t_max)
     if "pallas" in scene:
         from .traverse_pallas2 import intersect_pallas2
 
         hit = intersect_pallas2(origin, direction, scene["pallas"],
-                                active=active, sort=sort)
+                                active=active, sort=sort, t_max=t_max)
     elif "stream" in scene:
         from .traverse_stream import intersect_stream
 
         hit = intersect_stream(origin, direction, scene["stream"],
-                               active=active, sort=sort)
+                               active=active, sort=sort, t_max=t_max)
     elif "node_packed" in scene["bvh"]:
         hit = intersect_bvh_packed(origin, direction, scene["bvh"],
-                                   active=active)
+                                   active=active, t_max=t_max)
     else:
-        hit = intersect_bvh(origin, direction, scene["bvh"], active=active)
+        hit = intersect_bvh(origin, direction, scene["bvh"], active=active,
+                            t_max=t_max)
     if "camtri" in scene:
         hit = _merge_camtri(origin, direction, scene["camtri"], hit, active)
     return hit
@@ -202,7 +205,7 @@ def _merge_camtri(origin, direction, camtri, hit, active):
     )
 
 
-def intersect_bvh(origin, direction, bvh_arrays, active=None):
+def intersect_bvh(origin, direction, bvh_arrays, active=None, t_max=None):
     """Closest-hit traversal of a miss-link threaded BVH.
 
     origin/direction: [N, 3] f32
@@ -278,12 +281,13 @@ def intersect_bvh(origin, direction, bvh_arrays, active=None):
 
     init = (
         start,
-        jnp.full(n_rays, INF),
+        jnp.full(n_rays, INF) if t_max is None else t_max,
         jnp.full(n_rays, -1, dtype=jnp.int32),
         jnp.zeros(n_rays, dtype=jnp.float32),
         jnp.zeros(n_rays, dtype=jnp.float32),
     )
     _, best_t, best_i, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    best_t = jnp.where(best_i >= 0, best_t, INF)
     return best_i, best_t, best_u, best_v
 
 
@@ -319,7 +323,8 @@ def pack_gather_walk(bvh, leafs):
     )
 
 
-def intersect_bvh_packed(origin, direction, bvh_arrays, active=None):
+def intersect_bvh_packed(origin, direction, bvh_arrays, active=None,
+                         t_max=None):
     """Gather walk over packed rows (see pack_gather_walk); same contract
     and traversal order as intersect_bvh (the unpacked oracle)."""
     node_packed = bvh_arrays["node_packed"]
@@ -382,12 +387,13 @@ def intersect_bvh_packed(origin, direction, bvh_arrays, active=None):
 
     init = (
         start,
-        jnp.full(n_rays, INF),
+        jnp.full(n_rays, INF) if t_max is None else t_max,
         jnp.full(n_rays, -1, dtype=jnp.int32),
         jnp.zeros(n_rays, dtype=jnp.float32),
         jnp.zeros(n_rays, dtype=jnp.float32),
     )
     _, best_t, best_i, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    best_t = jnp.where(best_i >= 0, best_t, INF)
     return best_i, best_t, best_u, best_v
 
 
@@ -400,10 +406,15 @@ def visibility_test(a_origin, a_triangle, b_origin, b_triangle, scene,
     blocked, as in the reference).
     Returns bool [N].
     """
-    direction = b_origin - a_origin
+    delta = b_origin - a_origin
     from .sampling import normalize
 
-    direction = normalize(direction)
-    tri, _, _, _ = intersect_scene(a_origin, direction, scene, active=active)
+    direction = normalize(delta)
+    # cap the search just past the target: hits beyond b cannot change the
+    # verdict, and the capped traversal prunes everything farther
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(delta * delta, axis=-1), 0.0))
+    t_max = dist * 1.001 + 1e-4
+    tri, _, _, _ = intersect_scene(a_origin, direction, scene, active=active,
+                                   t_max=t_max)
     visible = (tri >= 0) & (tri != a_triangle) & (tri == b_triangle)
     return visible

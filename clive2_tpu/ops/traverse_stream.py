@@ -40,9 +40,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import DELTA
 from .traverse_pallas2 import _morton_key
 
+import os
+
 SUBLANES = 8
 LANES = 128
-BLOCK_RAYS = SUBLANES * LANES          # 1024 rays per packet
+# ray rows per packet: packets are [RAY_ROWS, 128] = RAY_ROWS*128 rays.
+# Bigger packets amortize the scalar-core cost of stack pops, loop control,
+# and DMA issue over more rays (the scalar pipe, not the VPU, bounds this
+# kernel); the sweep knob exists for measurement.
+RAY_ROWS = int(os.environ.get("CLIVE2_STREAM_ROWS", 16))
+BLOCK_RAYS = RAY_ROWS * LANES
 STACK_DEPTH = 192
 SUBTILES = 16                          # sub-leaves per fat leaf
 SUB_SLOTS = 8                          # triangles per sub-leaf
@@ -53,10 +60,11 @@ INF = float("inf")
 
 
 def _kernel(nodebox, childs, leafblocks,
-            ox, oy, oz, dx, dy, dz, act,
+            ox, oy, oz, dx, dy, dz, act, tm,
             out_t, out_i, out_u, out_v,
             stack, blocks, sem):
     n_subtiles = leafblocks.shape[2] // SUB_SLOTS
+    assert ox.shape == (RAY_ROWS, LANES)
     tiny = jnp.float32(1e-30)
 
     def inv(d):
@@ -68,11 +76,12 @@ def _kernel(nodebox, childs, leafblocks,
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     active = act[:] > 0.0
 
-    # outputs double as the best-hit accumulators
-    out_t[:] = jnp.full((SUBLANES, LANES), INF, dtype=jnp.float32)
-    out_i[:] = jnp.full((SUBLANES, LANES), -1, dtype=jnp.int32)
-    out_u[:] = jnp.zeros((SUBLANES, LANES), dtype=jnp.float32)
-    out_v[:] = jnp.zeros((SUBLANES, LANES), dtype=jnp.float32)
+    # outputs double as the best-hit accumulators; best-t starts at the
+    # caller's per-ray cap (shadow-ray pruning; inf when uncapped)
+    out_t[:] = tm[:]
+    out_i[:] = jnp.full((RAY_ROWS, LANES), -1, dtype=jnp.int32)
+    out_u[:] = jnp.zeros((RAY_ROWS, LANES), dtype=jnp.float32)
+    out_v[:] = jnp.zeros((RAY_ROWS, LANES), dtype=jnp.float32)
 
     def box_test(node, base, bt):
         off = node * 12 + base
@@ -123,7 +132,7 @@ def _kernel(nodebox, childs, leafblocks,
             # subtile's box (all 8 tri-rows carry the same box values);
             # doubles as the MT activity mask
             masks = []
-            for g in range(SUBLANES):
+            for g in range(RAY_ROWS):
                 row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
                                                  (SUBLANES, LANES))
                 t0x = (bmnx - row(o_x)) * row(invx)
@@ -144,7 +153,7 @@ def _kernel(nodebox, childs, leafblocks,
                 masks.append((tmin <= tmax) & amask)
 
             any_box = masks[0]
-            for g in range(1, SUBLANES):
+            for g in range(1, RAY_ROWS):
                 any_box = any_box | masks[g]
             go = jnp.any(any_box) & has_tri
 
@@ -154,7 +163,7 @@ def _kernel(nodebox, childs, leafblocks,
                 e1x, e1y, e1z = col(3), col(4), col(5)
                 e2x, e2y, e2z = col(6), col(7), col(8)
                 rows_t, rows_i, rows_u, rows_v = [], [], [], []
-                for g in range(SUBLANES):
+                for g in range(RAY_ROWS):
                     row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
                                                      (SUBLANES, LANES))
                     rox, roy, roz = row(o_x), row(o_y), row(o_z)
@@ -320,9 +329,9 @@ def _kernel(nodebox, childs, leafblocks,
 def _traverse_blocks(nodebox, childs, leafblocks, rays, n_blocks: int,
                      interpret: bool = False):
     plane = lambda: pl.BlockSpec(
-        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    shape = (n_blocks * SUBLANES, LANES)
+    shape = (n_blocks * RAY_ROWS, LANES)
     out_shape = [
         jax.ShapeDtypeStruct(shape, jnp.float32),
         jax.ShapeDtypeStruct(shape, jnp.int32),
@@ -336,7 +345,7 @@ def _traverse_blocks(nodebox, childs, leafblocks, rays, n_blocks: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # fat-leaf blocks: HBM
-        ] + [plane()] * 7,
+        ] + [plane()] * 8,
         out_specs=[plane()] * 4,
         out_shape=out_shape,
         scratch_shapes=[
@@ -347,14 +356,15 @@ def _traverse_blocks(nodebox, childs, leafblocks, rays, n_blocks: int,
         interpret=interpret,
     )(nodebox, childs, leafblocks,
       rays["ox"], rays["oy"], rays["oz"],
-      rays["dx"], rays["dy"], rays["dz"], rays["act"])
+      rays["dx"], rays["dy"], rays["dz"], rays["act"], rays["tm"])
 
 
 def intersect_stream(origin, direction, packed, active=None, sort=False,
-                     interpret=False):
+                     t_max=None, interpret=False):
     """Closest hit via the streaming kernel; same contract as
     intersect_bvh.  ``sort`` reorders rays by octant+Morton for packet
-    coherence and scatters results back."""
+    coherence and scatters results back.  ``t_max`` caps the search
+    (shadow-ray pruning); misses still report t = inf."""
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
                           active=active)
@@ -365,6 +375,7 @@ def intersect_stream(origin, direction, packed, active=None, sort=False,
         i, t, u, v = intersect_stream(
             origin[order], direction[order], packed,
             active=None if active is None else active[order], sort=False,
+            t_max=None if t_max is None else t_max[order],
             interpret=interpret,
         )
         return i[inv], t[inv], u[inv], v[inv]
@@ -375,23 +386,26 @@ def intersect_stream(origin, direction, packed, active=None, sort=False,
 
     def plane(x, fill):
         flat = jnp.full((n_pad,), fill, dtype=jnp.float32).at[:n].set(x)
-        return flat.reshape(n_blocks * SUBLANES, LANES)
+        return flat.reshape(n_blocks * RAY_ROWS, LANES)
 
     act = (jnp.ones((n,), jnp.float32) if active is None
            else active.astype(jnp.float32))
+    tm = jnp.full((n,), INF) if t_max is None else t_max
     rays = dict(
         ox=plane(origin[:, 0], 0.0), oy=plane(origin[:, 1], 0.0),
         oz=plane(origin[:, 2], 0.0),
         dx=plane(direction[:, 0], 1.0), dy=plane(direction[:, 1], 0.0),
         dz=plane(direction[:, 2], 0.0),
-        act=plane(act, 0.0),
+        act=plane(act, 0.0), tm=plane(tm, 0.0),
     )
     t, i, u, v = _traverse_blocks(
         packed["nodebox"], packed["childs"], packed["leafblocks"], rays,
         n_blocks, interpret=interpret,
     )
     reshape = lambda a: a.reshape(n_pad)[:n]
-    return reshape(i), reshape(t), reshape(u), reshape(v)
+    i = reshape(i)
+    t = jnp.where(i >= 0, reshape(t), INF)   # capped misses -> inf
+    return i, t, reshape(u), reshape(v)
 
 
 def pack_stream(bvh, soup, leaf=None, blocks_per_leaf=1):

@@ -193,3 +193,20 @@ class TestTraverseStream:
                                        interpret=True)
         want = intersect_bvh_packed(o, d, ga)
         _assert_hits_equal(got, want, "stream 2-block")
+
+    def test_t_max_cap(self, rng):
+        """Capped traversal == uncapped traversal with hits beyond the cap
+        discarded (shadow-ray semantics), misses reporting t = inf."""
+        _, _, packed, ga = self._packed(rng, t=900)
+        o, d = _random_rays(rng, 800)
+        wi, wt, wu, wv = intersect_bvh_packed(o, d, ga)
+        t_max = jnp.asarray(rng.uniform(2.0, 12.0, 800).astype(np.float32))
+        gi, gt, _, _ = tstream.intersect_stream(o, d, packed, t_max=t_max,
+                                                interpret=True)
+        keep = (np.asarray(wi) >= 0) & (np.asarray(wt) < np.asarray(t_max))
+        np.testing.assert_array_equal(np.asarray(gi)[keep],
+                                      np.asarray(wi)[keep])
+        assert (np.asarray(gi)[~keep] == -1).all()
+        assert not np.isfinite(np.asarray(gt)[~keep]).any()
+        np.testing.assert_allclose(np.asarray(gt)[keep],
+                                   np.asarray(wt)[keep], rtol=2e-5, atol=2e-5)
