@@ -68,3 +68,15 @@ def timed(func):
 
 
 TIMED_ENABLED = False
+
+# CLIVE2_REFERENCE_MIS=1 reproduces the reference's BDPT estimator
+# verbatim, including its acknowledged approximations (stale junction
+# values in the MIS chain, trace.metal:696-706; missing emission cosine on
+# the light subpath's first edge; cos/pi junction "BRDFs"; splat pixel
+# round()).  The default (0) is the corrected estimator, which makes the
+# count-normalized BDPT image converge to the unidirectional image
+# per-pixel (tests/test_convergence.py).
+import os
+
+REFERENCE_MIS = os.environ.get("CLIVE2_REFERENCE_MIS", "0") == "1"
+

@@ -26,6 +26,8 @@ Deliberate deviations from reference quirks (SURVEY §"quirks"):
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +35,11 @@ from ..constants import DELTA, MAX_BOUNCES
 from ..ops.gather import gather_rows
 from ..ops.intersect import intersect_scene
 from ..ops.sampling import PI, dot, normalize
+
+# CLIVE2_REFERENCE_MIS=1 restores the reference's estimator verbatim (for
+# pixel-exact parity runs); the default is the corrected estimator
+# (constants.py:REFERENCE_MIS documents the differences).
+from ..constants import REFERENCE_MIS
 
 
 def _take_d(tree, d):
@@ -168,14 +175,47 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
                     idx = pair_index[(t, s)]
                     cv = _vstatic(CV, t - 1)
                     lv = _vstatic(LV, s - 1)
-                    visible = (
-                        (cast_tri[idx] >= 0)
-                        & (cast_tri[idx] != lv["triangle"])
-                        & (cast_tri[idx] == cv["triangle"])
-                    )
+                    if REFERENCE_MIS:
+                        visible = (
+                            (cast_tri[idx] >= 0)
+                            & (cast_tri[idx] != lv["triangle"])
+                            & (cast_tri[idx] == cv["triangle"])
+                        )
+                    else:
+                        # robust visibility: with the cast capped at the
+                        # segment length, "no hit strictly inside the
+                        # segment" means unoccluded.  Requiring the hit to
+                        # BE the target triangle (the reference's rule,
+                        # trace.metal:193-196) silently kills grazing
+                        # connections where Möller-Trumbore is
+                        # ill-conditioned (measured ~35% of direct light
+                        # lost on the Cornell side walls).
+                        seg = cv["origin"] - lv["origin"]
+                        seg_len = jnp.sqrt(jnp.maximum(dot(seg, seg), 1e-30))
+                        visible = (
+                            (cast_tri[idx] == cv["triangle"])
+                            | (cast_tri[idx] < 0)
+                            | (cast_t[idx] >= seg_len * (1.0 - 1e-3))
+                        )
                     valid = cast_active[idx] & visible
                     dir_l_to_c = normalize(cv["origin"] - lv["origin"])
-                    new_camera_f = jnp.abs(dot(-dir_l_to_c, cv["normal"])) / PI
+                    if REFERENCE_MIS:
+                        # reference formula: cos/pi junction "BRDFs" plus a
+                        # geometry term built from stale stored directions
+                        new_camera_f = (
+                            jnp.abs(dot(-dir_l_to_c, cv["normal"])) / PI
+                        )
+                        g = _geom(cv, lv)
+                    else:
+                        # diffuse BRDF is 1/pi (no cosine); the junction
+                        # cosines belong to the geometry term, evaluated
+                        # with the ACTUAL connection direction
+                        new_camera_f = jnp.full_like(cv["tot_importance"],
+                                                     1.0 / PI)
+                        delta_j = cv["origin"] - lv["origin"]
+                        d2_j = jnp.maximum(dot(delta_j, delta_j), 1e-30)
+                        g = (jnp.abs(dot(dir_l_to_c, lv["normal"]))
+                             * jnp.abs(dot(dir_l_to_c, cv["normal"])) / d2_j)
                     camera_color = (
                         _vstatic(CV, t - 2)["color"]
                         * new_camera_f[:, None]
@@ -184,14 +224,29 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
                     if s == 1:
                         light_color = gather_rows(mat["emission"], lv["material"])
                     else:
-                        new_light_f = jnp.abs(dot(dir_l_to_c, lv["normal"])) / PI
+                        if REFERENCE_MIS:
+                            new_light_f = (
+                                jnp.abs(dot(dir_l_to_c, lv["normal"])) / PI
+                            )
+                        else:
+                            new_light_f = jnp.full_like(
+                                lv["tot_importance"], 1.0 / PI
+                            )
+                            if s == 2:
+                                # the emission cosine lives in color(y_1)
+                                # onward (trace.py folds it at the first
+                                # light bounce); s == 2 uses color(y_0)
+                                # and needs it explicitly
+                                y0 = _vstatic(LV, 0)
+                                new_light_f = new_light_f * jnp.abs(
+                                    dot(y0["direction"], y0["normal"])
+                                )
                         light_color = (
                             _vstatic(LV, s - 2)["color"]
                             * new_light_f[:, None]
                             * gather_rows(mat["color"], lv["material"])
                         )
                     color = camera_color * light_color
-                    g = _geom(cv, lv)
 
                 light_tot = (
                     jnp.ones_like(cv["tot_importance"]) if s == 0
@@ -203,7 +258,19 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
                     d_x = jnp.maximum(dot(delta, delta), 1e-30)
                 else:
                     d_x = None
-                w, p_s, ok = _mis_weight_fast(t, s, pre, p_s, Dx=d_x)
+                if REFERENCE_MIS:
+                    w, p_s, ok = _mis_weight_fast(t, s, pre, p_s, Dx=d_x)
+                elif s == 0:
+                    w, p_s, ok = _mis_weight_correct(
+                        t, s, pre, p_s, l0_override=pre["L"]["l"][0]
+                    )
+                else:
+                    dj = normalize(cv["origin"] - lv["origin"])
+                    w, p_s, ok = _mis_weight_correct(
+                        t, s, pre, p_s, Dx=d_x,
+                        jcos_l=jnp.abs(dot(dj, lv["normal"])),
+                        jcos_c=jnp.abs(dot(dj, cv["normal"])),
+                    )
                 valid &= ok
                 contrib = (w * g / jnp.maximum(p_s, 1e-38))[:, None] * color
                 contribution += jnp.where(valid[:, None], contrib, 0.0)
@@ -256,13 +323,33 @@ def _strategy_t1(t, s, CV, LV, cam_len, light_len, scene, width, height,
     is_cam_tri = (hit_i >= 0) & (
         gather_rows(tri["packed"], safe_i)[:, 14] != 0
     )
-    camera_point = lv["origin"] + hit_t[:, None] * proj_dir
+    if not REFERENCE_MIS:
+        # robust sensor reach: intersect the sensor PLANE analytically
+        # (exact where the MT hit is grazing-fragile) and accept when no
+        # scene hit lies strictly inside the segment
+        den = dot(proj_dir, cam["direction"][None, :])
+        num = dot(cam["center"][None, :] - lv["origin"],
+                  cam["direction"][None, :])
+        t_plane = jnp.where(den < -1e-12, num / den, jnp.inf)
+        reached = (
+            is_cam_tri | (hit_i < 0) | (hit_t >= t_plane * (1.0 - 1e-3))
+        ) & jnp.isfinite(t_plane) & (t_plane > 0)
+        is_cam_tri = reached
+        camera_point = lv["origin"] + t_plane[:, None] * proj_dir
+    else:
+        camera_point = lv["origin"] + hit_t[:, None] * proj_dir
 
     rel = camera_point - cam["center"][None, :]
     x = dot(rel, cam["dx"][None, :])
     y = dot(rel, cam["dy"][None, :])
-    px = jnp.round((x / cam["phys_width"] + 0.5) * width).astype(jnp.int32)
-    py = jnp.round((y / cam["phys_height"] + 0.5) * height).astype(jnp.int32)
+    if REFERENCE_MIS:
+        # the reference's round() shifts the splat grid by half a pixel
+        # relative to generate_camera_rays' pixel footprints
+        px = jnp.round((x / cam["phys_width"] + 0.5) * width).astype(jnp.int32)
+        py = jnp.round((y / cam["phys_height"] + 0.5) * height).astype(jnp.int32)
+    else:
+        px = jnp.floor((x / cam["phys_width"] + 0.5) * width).astype(jnp.int32)
+        py = jnp.floor((y / cam["phys_height"] + 0.5) * height).astype(jnp.int32)
     pix_ok = (px >= 0) & (px < width) & (py >= 0) & (py < height)
     pixel = py * width + px
 
@@ -286,22 +373,66 @@ def _strategy_t1(t, s, CV, LV, cam_len, light_len, scene, width, height,
     d_x = jnp.maximum(dot(delta, delta), 1e-30)
     w_synth = jnp.abs(dot(cv["direction"], cv["normal"]))
     spec_synth = jnp.broadcast_to(mat["type"][7] > 0, w_synth.shape)
-    w, p_s, ok = _mis_weight_fast(t, s, pre, p_s, Dx=d_x, w_synth=w_synth,
-                                  spec_synth=spec_synth)
+    if REFERENCE_MIS:
+        w, p_s, ok = _mis_weight_fast(t, s, pre, p_s, Dx=d_x,
+                                      w_synth=w_synth,
+                                      spec_synth=spec_synth)
+    else:
+        dj = normalize(camera_point - lv["origin"])
+        w, p_s, ok = _mis_weight_correct(
+            t, s, pre, p_s, Dx=d_x,
+            jcos_l=jnp.abs(dot(dj, lv["normal"])),
+            jcos_c=jnp.abs(dot(dj, cam["direction"][None, :])),
+            spec_synth=spec_synth,
+            t1_cam_c=pre["C"]["c"][0],
+        )
     valid &= ok
 
     dir_l_to_c = normalize(camera_point - lv["origin"])
-    if s > 1:
-        new_light_f = jnp.abs(dot(dir_l_to_c, lv["normal"])) / PI
-    else:
-        new_light_f = jnp.ones((n,), dtype=jnp.float32)
-    g = _geom(lv, cv)
-
     prior = _vstatic(LV, max(0, s - 2))
+    if REFERENCE_MIS:
+        if s > 1:
+            new_light_f = jnp.abs(dot(dir_l_to_c, lv["normal"])) / PI
+        else:
+            new_light_f = jnp.ones((n,), dtype=jnp.float32)
+        g = _geom(lv, cv)
+        shade = new_light_f * g
+        lcolor = prior["color"] * gather_rows(mat["color"], lv["material"])
+    else:
+        # unbiased splat: radiance toward the sensor times the light->pixel
+        # area Jacobian through the pinhole.  Each sample launches W*H
+        # light subpaths, so for splats landing in pixel p the requirement
+        # is W*H * E[S * pdf * A_preimage] = radiance/c_imp^2 (the
+        # unidirectional pixel value).  With A_preimage = A_pixel *
+        # (cosC/cosL)(r0/r1)^2 through the focal point and A_pixel =
+        # phys_w*phys_h/(W*H), the shade reduces to
+        # phys_w*phys_h * (cosL/cosC)(r1/r0)^2.  The reference's
+        # cosL*cosC/D shade is ~20% high on light-view pixels (measured)
+        # and spatially distorted.
+        if s > 1:
+            brdf = jnp.full((n,), 1.0 / PI)
+            if s == 2:
+                # emission cosine: see the s == 2 note in connect_paths
+                y0 = _vstatic(LV, 0)
+                brdf = brdf * jnp.abs(dot(y0["direction"], y0["normal"]))
+        else:
+            brdf = jnp.ones((n,), dtype=jnp.float32)
+        cos_l = jnp.abs(dot(dir_l_to_c, lv["normal"]))
+        cos_c = jnp.maximum(
+            jnp.abs(dot(dir_l_to_c, cam["direction"][None, :])), 1e-6
+        )
+        r0 = jnp.sqrt(jnp.maximum(dot(
+            cam["focal_point"][None, :] - lv["origin"],
+            cam["focal_point"][None, :] - lv["origin"]), 1e-30))
+        r1 = jnp.sqrt(jnp.maximum(dot(
+            cam["focal_point"][None, :] - camera_point,
+            cam["focal_point"][None, :] - camera_point), 1e-30))
+        k_sensor = cam["phys_width"] * cam["phys_height"]
+        shade = brdf * k_sensor * (cos_l / cos_c) * (r1 / r0) ** 2
+        lcolor = prior["color"] * gather_rows(mat["color"], lv["material"])
+
     value = (
-        (w * new_light_f * g / jnp.maximum(p_s, 1e-38))[:, None]
-        * prior["color"]
-        * gather_rows(mat["color"], lv["material"])
+        (w * shade / jnp.maximum(p_s, 1e-38))[:, None] * lcolor
     )
     pix_out = jnp.where(valid, pixel, width * height)  # OOB -> dropped
     return pix_out, jnp.where(valid[:, None], value, 0.0), jnp.where(valid, w, 0.0)
@@ -326,8 +457,18 @@ def precompute_mis(CV, LV, mat, max_bounces: int):
         )
         delta = V["origin"][1:] - V["origin"][:-1]
         dist2 = jnp.maximum(jnp.sum(delta * delta, axis=-1), 1e-30)
+        # cosine of vertex d's normal against its INCOMING edge (the edge
+        # from vertex d-1) — the corrected MIS chain pairs each geometry
+        # term's cosines with that edge's actual direction (in_cos[0] is
+        # never read; see _mis_weight_correct)
+        in_cos = jnp.concatenate(
+            [w[0:1],
+             jnp.abs(jnp.sum(V["direction"][:-1] * V["normal"][1:], axis=-1))],
+            axis=0,
+        )
         return dict(
             w=w,
+            in_cos=in_cos,
             l=V["l_importance"],
             c=V["c_importance"],
             spec=spec,
@@ -335,6 +476,136 @@ def precompute_mis(CV, LV, mat, max_bounces: int):
         )
 
     return dict(L=per_path(LV), C=per_path(CV))
+
+
+def _mis_weight_correct(t, s, pre, p_s, Dx=None, jcos_l=None, jcos_c=None,
+                        spec_synth=None, l0_override=None, t1_cam_c=None):
+    """Balance-heuristic weight with CONSISTENT junction pdfs/cosines.
+
+    The reference's chain (transcribed in _mis_weight/_mis_weight_fast)
+    knowingly uses stale values at the connection junction — the
+    commented-out fix at trace.metal:696-706 ("technically correct but has
+    no visible effect") — and pairs every geometry cosine with the
+    vertex's own STORED outgoing direction even for the incoming edge.
+    The per-path strategy weights then do not sum to 1, which biases the
+    count-normalized image spatially (measured 0.3x-3.2x by row on the
+    Cornell box; the display's divide-by-weight-sum largely hides it,
+    which is why the reference author saw "no visible effect").
+
+    This chain recomputes, per strategy (t, s):
+      * junction pdf overrides (the reference's own commented fix):
+        camera-junction l_importance = |dot(dir_join, n_light)|/pi,
+        light-junction c_importance = |dot(dir_join, n_cam)|/pi
+        (t=1: the sensor importance instead; s=0: the light-area pdf);
+      * per-edge cosine pairing: each edge's geometry term uses THAT
+        edge's direction at both endpoints (subpath-internal edges reuse
+        the stored direction of the earlier endpoint; the junction edge
+        uses the actual connection direction via jcos_l/jcos_c).
+
+    Args: jcos_l/jcos_c = |cos| of the junction edge at the light/camera
+    junction vertices (None when s == 0); l0_override replaces vertex 0's
+    l_importance for s == 0 (the light-area pdf); t1_cam_c = the sensor
+    c_importance used for the t == 1 light-junction override.
+    """
+    k = s + t
+    L, C = pre["L"], pre["C"]
+
+    def vert_l(i):
+        if i == 0 and s == 0:
+            return l0_override
+        if i == 1:
+            # the hypothetical light subpath's FIRST direction is sampled
+            # uniform-hemisphere at the light surface (generate_light_rays),
+            # pdf 1/2pi — regardless of which side actually sampled x_1.
+            # (For s >= 2 the stored value already is 1/2pi.)
+            return jnp.full_like(p_s, 1.0 / (2.0 * PI))
+        if i == s and s >= 1:          # camera junction (or t=1 synthetic)
+            return jcos_l / PI
+        if i < s:
+            return L["l"][i]
+        return C["l"][t + s - 1 - i]
+
+    def vert_c(i):
+        if i == s - 1 and s >= 1:      # light junction
+            return t1_cam_c if t == 1 else jcos_c / PI
+        if i < s:
+            return L["c"][i]
+        j = t + s - 1 - i
+        return C["c"][j]
+
+    def vert_spec(i):
+        if i < s:
+            return L["spec"][i]
+        j = t + s - 1 - i
+        if t == 1 and j == 0:
+            return spec_synth
+        return C["spec"][j]
+
+    def cos_light_side(i):
+        """|cos| at vertex x_i against its light-side edge e_{i-1}."""
+        if i - 1 == s - 1 and s >= 1:  # junction edge -> x_i is cam junction
+            return jcos_c
+        if i - 1 <= s - 2:             # light-internal edge, x_i = light[i]
+            return L["in_cos"][i]
+        j = t + s - 1 - i              # camera-internal, x_i = cam[j]
+        return C["w"][j]
+
+    def cos_cam_side(i):
+        """|cos| at vertex x_i against its camera-side edge e_i."""
+        if i == s - 1 and s >= 1:      # junction edge -> x_i is light junction
+            return jcos_l
+        if i <= s - 2:                 # light-internal edge
+            return L["w"][i]
+        j = t + s - 1 - i              # camera-internal
+        return C["in_cos"][j]
+
+    def edge_D(e):
+        if s >= 1 and e == s - 1:
+            return Dx
+        if e <= s - 2:
+            return L["D"][e]
+        j = t + s - 1 - e              # edge (cam[j], cam[j-1])
+        return C["D"][j - 1]
+
+    # true pdf ratio p_{i+1}/p_i: only vertex x_i changes sides, so only
+    # ITS solid-angle->area conversions appear — the single cosine at x_i
+    # against each edge (the reference's two-cosine geometry terms mix in
+    # the neighbors' stale cosines)
+    ratios = []
+    for i in range(k):
+        if i == 0:
+            num = vert_l(0)            # area pdf (light surface)
+            den = vert_c(0) * cos_cam_side(0) / edge_D(0)
+        elif i == k - 1:
+            num = vert_l(k - 1) * cos_light_side(k - 1) / edge_D(k - 2)
+            den = vert_c(k - 1)        # area pdf (sensor importance)
+        else:
+            num = vert_l(i) * cos_light_side(i) / edge_D(i - 1)
+            den = vert_c(i) * cos_cam_side(i) / edge_D(i)
+        ratios.append(num / jnp.where(jnp.abs(den) > 1e-38, den, 1e-38))
+
+    p_values = [None] * (k + 1)
+    p_values[s] = p_s
+    for i in range(s, k):
+        p_values[i + 1] = p_values[i] * ratios[i]
+    for i in range(s - 1, -1, -1):
+        p_values[i] = p_values[i + 1] / jnp.where(
+            jnp.abs(ratios[i]) > 1e-38, ratios[i], 1e-38
+        )
+
+    for i in range(k):
+        sp = vert_spec(i)
+        p_values[i] = jnp.where(sp, 0.0, p_values[i])
+        p_values[i + 1] = jnp.where(sp, 0.0, p_values[i + 1])
+    p_values[k] = jnp.zeros_like(p_s)
+
+    total = p_values[0]
+    for i in range(1, k + 1):
+        total = total + p_values[i]
+
+    ok = (p_values[s] > 0.0) & (total > 0.0)
+    w = jnp.where(ok, p_values[s] / jnp.where(total > 0.0, total, 1.0), 0.0)
+    return w, p_s, ok
 
 
 def _mis_weight_fast(t, s, pre, p_s, Dx=None, w_synth=None, spec_synth=None):

@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..constants import DELTA, MAX_BOUNCES
+from ..constants import DELTA, MAX_BOUNCES, REFERENCE_MIS
 from ..ops import bsdf
 from ..ops.gather import gather_rows
 from ..ops.intersect import intersect_scene
@@ -267,11 +267,41 @@ def trace_subpaths(key, rays, pytree_scene, from_camera,
             f[:, None] * cur["color"] * mat_color,
             f[:, None] * cur["color"],
         )
+        if not REFERENCE_MIS:
+            # the Lambertian emitter's flux toward the first light-subpath
+            # edge carries cos(n_light, dir); the reference's throughput
+            # omits it (its light rays sample a uniform hemisphere with
+            # pdf 1/2pi and start with color = emission only), biasing
+            # every s>=2 strategy.  Fold it in at the first light bounce
+            # so color(y_0) = emission stays untouched for s=1/t=1 use.
+            emit_cos = jnp.abs(dot(cur["direction"], cur["normal"]))
+            first_light = jnp.broadcast_to(depth == 0, fc.shape) & ~fc
+            new_color = jnp.where(
+                first_light[:, None],
+                new_color * emit_cos[:, None],
+                new_color,
+            )
 
         new_fwd = fwd_pending
         new_tot = cur["tot_importance"] * new_fwd
 
-        valid = active & hit_ok & ~degenerate & ok_m & (f != 0.0)
+        bounce_ok = ok_m & (f != 0.0)
+        if REFERENCE_MIS:
+            # reference break-before-store: a vertex is stored only when the
+            # bounce at the NEXT hit also succeeded (trace.metal:407-517) —
+            # needed there because the stored vertex's reverse pdf comes
+            # from that bounce
+            valid = active & hit_ok & ~degenerate & bounce_ok
+            store = valid
+        else:
+            # corrected estimator: store on hit success alone.  The stale
+            # reverse pdf this would expose is never read (the MIS chain
+            # overrides every junction value), and requiring the next
+            # bounce silently drops ~8% of connection paths (an extra
+            # coin-flip the unidirectional estimator does not pay),
+            # biasing every s>=1 strategy low.
+            store = active & hit_ok & ~degenerate
+            valid = store & bounce_ok
 
         # finalize and emit the CURRENT vertex (reference stores path.rays[i]
         # only after the bounce at the new hit succeeded)
@@ -303,7 +333,7 @@ def trace_subpaths(key, rays, pytree_scene, from_camera,
         )
         new_pending = jnp.where(valid, next_pending, fwd_pending)
 
-        return (new_cur, new_pending, valid), (emit, valid)
+        return (new_cur, new_pending, valid), (emit, store)
 
     cur0 = dict(rays)
     carry0 = (cur0, fwd_pending0, jnp.ones(n, dtype=bool))
