@@ -48,7 +48,8 @@ def _ensure_assets():
         )
 
 
-def bench_render(preset, width, height, samples, metric, baseline=None):
+def bench_render(preset, width, height, samples, metric, baseline=None,
+                 chunk_rows=None):
     import jax
     import jax.numpy as jnp
 
@@ -59,19 +60,35 @@ def bench_render(preset, width, height, samples, metric, baseline=None):
                                         pixel_height=height)
     key = jax.random.key(0)
 
-    @jax.jit
-    def step(key, i, scene_data):
-        return render_sample(
-            jax.random.fold_in(key, i), scene_data, width, height
-        )
+    if chunk_rows:
+        @jax.jit
+        def stripe(key, i, row0, scene_data):
+            k = jax.random.fold_in(jax.random.fold_in(key, i), row0)
+            return render_sample(k, scene_data, width, height,
+                                 row0=row0, rows=chunk_rows)
 
-    out = step(key, jnp.uint32(0), scene.data)   # compile + warmup
+        def step(key, i, scene_data):
+            outs = None
+            for r in range(0, height, chunk_rows):
+                o = stripe(key, jnp.uint32(i), jnp.int32(r), scene_data)
+                outs = o if outs is None else jax.tree.map(
+                    lambda a, b: a + b, outs, o)
+            return outs
+    else:
+        @jax.jit
+        def step(key, i, scene_data):
+            return render_sample(
+                jax.random.fold_in(key, jnp.uint32(i)), scene_data,
+                width, height
+            )
+
+    out = step(key, 0, scene.data)               # compile + warmup
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     n_rays_handles = []
     for i in range(1, samples + 1):
-        out = step(key, jnp.uint32(i), scene.data)
+        out = step(key, i, scene.data)
         n_rays_handles.append(out["n_rays"])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
@@ -178,7 +195,8 @@ def main():
                              "glass_dragon_512x512", baseline=4.1)
             elif cfg == "sponza_1080p":
                 bench_render("sponza", 1920, 1080, 2,
-                             "sponza_1.3Mtris_1920x1080", baseline=None)
+                             "sponza_1.3Mtris_1920x1080", baseline=None,
+                             chunk_rows=270)
             elif cfg == "movie_720p":
                 bench_movie()
         except Exception as e:  # one config failing must not kill the rest

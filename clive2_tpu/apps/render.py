@@ -42,6 +42,9 @@ def main(argv=None):
     parser.add_argument("--unidirectional", action="store_true",
                         help="also save the plain path-traced image")
     parser.add_argument("--timing", action="store_true")
+    parser.add_argument("--chunk-rows", type=int, default=None,
+                        help="render in row stripes of this height (keeps "
+                        "path arrays in HBM for 4K-class frames)")
     args = parser.parse_args(argv)
 
     from .. import constants
@@ -56,7 +59,7 @@ def main(argv=None):
     print(f"scene '{args.scene}': {scene.n_triangles} triangles, "
           f"{scene.n_nodes} BVH nodes, built in {scene.build_seconds:.2f}s")
 
-    renderer = Renderer(scene, seed=args.seed)
+    renderer = Renderer(scene, seed=args.seed, chunk_rows=args.chunk_rows)
     if args.checkpoint and os.path.exists(args.checkpoint):
         renderer.load_checkpoint(args.checkpoint)
         print(f"resumed at sample {renderer.samples} from {args.checkpoint}")

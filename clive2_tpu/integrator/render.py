@@ -32,19 +32,31 @@ from .trace import (
 
 
 def render_sample(key, scene, width: int, height: int,
-                  max_bounces: int = MAX_BOUNCES, mesh=None):
+                  max_bounces: int = MAX_BOUNCES, mesh=None,
+                  row0=None, rows: int = None):
     """One full BDPT sample for every pixel.
+
+    ``row0``/``rows`` render only an image stripe (chunked rendering for
+    frames whose full path arrays would not fit HBM): the outputs are still
+    full-size [H, W] images — zero outside the stripe except the light
+    (splat) image, which stripes legitimately write anywhere.  Summing the
+    outputs over a partition of stripes equals one full sample.
 
     Returns dict(image [H, W, 3], weight [H, W], unidirectional [H, W, 3]).
     ``image``/``weight`` follow the reference accumulation contract:
     display = sum(image) / sum(weight) over samples (renderer.py:294-300).
     """
     cam = scene["camera"]
+    chunked = rows is not None and rows != height
+    rows_eff = height if rows is None else rows
     k_cam, k_light, k_trace = jax.random.split(key, 3)
 
-    cam_rays, pixel_idx = generate_camera_rays(k_cam, cam, width, height)
+    cam_rays, pixel_idx = generate_camera_rays(
+        k_cam, cam, width, height,
+        row0=0 if row0 is None else row0, rows=rows_eff,
+    )
     light_rays = generate_light_rays(
-        k_light, scene["lights"], scene["mat"], width * height
+        k_light, scene["lights"], scene["mat"], width * rows_eff
     )
 
     if mesh is not None:
@@ -58,7 +70,7 @@ def render_sample(key, scene, width: int, height: int,
         light_rays = constrain(light_rays)
 
     sensor_pos = cam_rays["origin"]
-    n = width * height
+    n = width * rows_eff
 
     # camera + light wavefronts trace as ONE merged scan (per-ray
     # from_camera flag): one traversal-kernel instance, double-size packets
@@ -91,17 +103,25 @@ def render_sample(key, scene, width: int, height: int,
 
     weights = filter_weights(sensor_pos, pixel_idx, cam, width, height)
     image, wimage = finalize_samples(
-        conn["contribution"], weights, conn["contrib_weight_sum"], width, height
+        conn["contribution"], weights, conn["contrib_weight_sum"],
+        width, height,
+        row0=None if not chunked else row0, rows=None if not chunked else rows,
     )
+
+    uni = uni.reshape(rows_eff, width, 3)
+    if chunked:
+        uni_full = jnp.zeros((height, width, 3), dtype=uni.dtype)
+        uni = jax.lax.dynamic_update_slice(
+            uni_full, uni, (jnp.asarray(row0, jnp.int32), jnp.int32(0),
+                            jnp.int32(0))
+        )
 
     total_image = image + conn["light_image"]
     total_weight = wimage + conn["light_weight_image"]
     return dict(
         image=jnp.nan_to_num(total_image, posinf=0.0, neginf=0.0),
         weight=total_weight,
-        unidirectional=jnp.nan_to_num(
-            uni.reshape(height, width, 3), posinf=0.0, neginf=0.0
-        ),
+        unidirectional=jnp.nan_to_num(uni, posinf=0.0, neginf=0.0),
         n_rays=cam_path["n_rays"] + light_path["n_rays"] + conn["n_rays"],
     )
 

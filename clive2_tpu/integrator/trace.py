@@ -48,14 +48,18 @@ def _take(tree, idx):
     return jax.tree.map(lambda a: gather_rows(a, idx), tree)
 
 
-def generate_camera_rays(key, cam, width: int, height: int):
+def generate_camera_rays(key, cam, width: int, height: int,
+                         row0=0, rows: int = None):
     """One jittered primary ray per pixel (trace.metal:1020-1067).
 
     Rays start on the physical sensor plane and aim at the focal point.
-    Returns (ray pytree [N], pixel_idx [N]).
+    ``row0``/``rows`` restrict generation to an image stripe (chunked
+    rendering; row0 may be traced).  Returns (ray pytree [N], pixel_idx [N]).
     """
-    n = width * height
-    pixel_idx = jnp.arange(n, dtype=jnp.int32)
+    rows = height if rows is None else rows
+    n = width * rows
+    pixel_idx = (jnp.asarray(row0, jnp.int32) * width
+                 + jnp.arange(n, dtype=jnp.int32))
     off = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
 
     px = (pixel_idx % width).astype(jnp.float32)

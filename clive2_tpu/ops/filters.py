@@ -56,39 +56,60 @@ def filter_weights(sensor_pos, pixel_idx, cam, width: int, height: int):
 
 
 def finalize_samples(contribution, weights, contrib_weight_sum,
-                     width: int, height: int):
+                     width: int, height: int, row0=None, rows: int = None):
     """Filtered image + per-pixel weight sums (trace.metal:981-1018).
 
     contribution:       [N, 3]  per-pixel-sample BDPT contribution
     weights:            [N, 3, 3] from :func:`filter_weights`
     contrib_weight_sum: [N]     sum of MIS weights accumulated per sample
+    row0, rows:         when set, the samples cover only image rows
+                        [row0, row0+rows) (chunked rendering); the filter's
+                        one-row spill across the stripe boundary is placed
+                        correctly in the full-size output.
 
     Returns (image [H, W, 3], weight_image [H, W]).  Implements the
     reference's transposed-weight neighbor gather
     (``weights[1-i][1-j]``, trace.metal:1009) as nine shifted adds.
     """
-    c = contribution.reshape(height, width, 3)
-    w = weights.reshape(height, width, 3, 3)
-    cws = contrib_weight_sum.reshape(height, width)
+    local_rows = height if rows is None else rows
+    c = contribution.reshape(local_rows, width, 3)
+    w = weights.reshape(local_rows, width, 3, 3)
+    cws = contrib_weight_sum.reshape(local_rows, width)
 
-    image = jnp.zeros((height, width, 3), dtype=c.dtype)
-    wimage = jnp.zeros((height, width), dtype=c.dtype)
+    # accumulate on a canvas with one spill row above and below: a sample at
+    # local row r contributes to output row r - j = canvas row r - j + 1
+    image = jnp.zeros((local_rows + 2, width, 3), dtype=c.dtype)
+    wimage = jnp.zeros((local_rows + 2, width), dtype=c.dtype)
     for i in (-1, 0, 1):          # x offset
         for j in (-1, 0, 1):      # y offset
             # For output pixel p, the neighbor sample sits at q = p + (i, j)
             # and contributes with its weight toward q + (-i, -j) = p, which
             # is its weights[1 - i][1 - j].
             wv = w[:, :, 1 - i, 1 - j]
-            val = wv[..., None] * c
-            wval = wv * cws
-            image = image + _shift2d(val, j, i)
-            wimage = wimage + _shift2d(wval, j, i)
-    return image, wimage
+            val = _shiftx(wv[..., None] * c, i)
+            wval = _shiftx(wv * cws, i)
+            image = image.at[1 - j : 1 - j + local_rows].add(val)
+            wimage = wimage.at[1 - j : 1 - j + local_rows].add(wval)
+
+    if rows is None:
+        return image[1:-1], wimage[1:-1]
+    # place the (rows+2) canvas into the full image: canvas row 0 is global
+    # row row0-1, i.e. padded-canvas row row0 (no border clamping needed)
+    import jax
+
+    full_i = jnp.zeros((height + 2, width, 3), dtype=c.dtype)
+    full_w = jnp.zeros((height + 2, width), dtype=c.dtype)
+    row0 = jnp.asarray(row0, jnp.int32)
+    full_i = jax.lax.dynamic_update_slice(full_i, image,
+                                          (row0, jnp.int32(0), jnp.int32(0)))
+    full_w = jax.lax.dynamic_update_slice(full_w, wimage,
+                                          (row0, jnp.int32(0)))
+    return full_i[1:-1], full_w[1:-1]
 
 
-def _shift2d(a, dy: int, dx: int):
-    """out[y, x] = a[y + dy, x + dx], zero-padded at the borders."""
-    h, wd = a.shape[0], a.shape[1]
-    pad = [(1, 1), (1, 1)] + [(0, 0)] * (a.ndim - 2)
+def _shiftx(a, dx: int):
+    """out[y, x] = a[y, x + dx], zero-padded at the x borders."""
+    wd = a.shape[1]
+    pad = [(0, 0), (1, 1)] + [(0, 0)] * (a.ndim - 2)
     ap = jnp.pad(a, pad)
-    return ap[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + wd]
+    return ap[:, 1 + dx : 1 + dx + wd]
