@@ -94,6 +94,10 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
     pair_arr = jnp.asarray(pairs, dtype=jnp.int32)
 
     # ---- stage A: all ray casts in one mapped traversal --------------------
+    # (A shared per-s permutation was measured and rejected: it saves 30 of
+    # 36 argsorts but gains nothing — the ~28 ms "sort cost" turned out to
+    # be a once-per-program Mosaic init, not a per-cast cost — while losing
+    # the inactive-last compaction that large-scene casts rely on.)
     def cast(pair):
         t, s = pair[0], pair[1]
         lv = _take_d(LV, s - 1)

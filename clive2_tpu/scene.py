@@ -70,7 +70,10 @@ class Scene:
         animation frame (reference movie.py:31-38) even though only the
         camera moves; here the sensor plane lives OUTSIDE the BVH (it is
         intersected separately, ops/intersect.py:intersect_scene), so a
-        camera move just swaps a handful of rows.
+        camera move just swaps a handful of rows.  The row swaps run as
+        ONE jitted program (per scene structure): eagerly issued .at[].set
+        chains cost a device dispatch each, which dominates movie frame
+        setup on remote-dispatch deployments.
         """
         from .geometry import camera_geometry
 
@@ -78,44 +81,13 @@ class Scene:
         ids = np.asarray(self.camera_tri_ids)
         assert len(cam_soup) == len(ids)
 
-        data = dict(self.data)
-        data["camera"] = camera.to_pytree()
-
-        if "camtri" in data:
-            data["camtri"] = _camtri_arrays(cam_soup, ids)
-        if "brute" in data:
-            brute = dict(data["brute"])
-            v = cam_soup.vertices
-            brute["v0"] = brute["v0"].at[ids].set(jnp.asarray(v[:, 0]))
-            brute["e1"] = brute["e1"].at[ids].set(jnp.asarray(v[:, 1] - v[:, 0]))
-            brute["e2"] = brute["e2"].at[ids].set(jnp.asarray(v[:, 2] - v[:, 0]))
-            data["brute"] = brute
-        if "brute_pallas" in data:
-            bp = dict(data["brute_pallas"])
-            v = cam_soup.vertices
-            rows = np.zeros((len(ids), 10), np.float32)
-            rows[:, 0:3] = v[:, 0]
-            rows[:, 3:6] = v[:, 1] - v[:, 0]
-            rows[:, 6:9] = v[:, 2] - v[:, 0]
-            tris = bp["tris"].reshape(-1, 10)
-            bp["tris"] = tris.at[ids].set(jnp.asarray(rows)).reshape(-1)
-            data["brute_pallas"] = bp
-
-        tri = dict(data["tri"])
-        fn = jnp.asarray(cam_soup.face_normals)
-        tri["face_normal"] = tri["face_normal"].at[ids].set(fn)
-        for k, col in (("n0", 0), ("n1", 1), ("n2", 2)):
-            tri[k] = tri[k].at[ids].set(
-                jnp.asarray(cam_soup.vertex_normals[:, col])
-            )
-        packed = tri["packed"]
-        rows = packed[ids]
-        rows = rows.at[:, 0:3].set(fn)
-        rows = rows.at[:, 3:6].set(jnp.asarray(cam_soup.vertex_normals[:, 0]))
-        rows = rows.at[:, 6:9].set(jnp.asarray(cam_soup.vertex_normals[:, 1]))
-        rows = rows.at[:, 9:12].set(jnp.asarray(cam_soup.vertex_normals[:, 2]))
-        tri["packed"] = packed.at[ids].set(rows)
-        data["tri"] = tri
+        updates = dict(
+            v=jnp.asarray(cam_soup.vertices.astype(np.float32)),
+            fn=jnp.asarray(cam_soup.face_normals.astype(np.float32)),
+            vn=jnp.asarray(cam_soup.vertex_normals.astype(np.float32)),
+            ids=jnp.asarray(ids.astype(np.int32)),
+        )
+        data = _apply_camera_update(self.data, camera.to_pytree(), updates)
 
         new = dataclasses.replace(
             self, camera=camera, data=data,
@@ -133,6 +105,52 @@ def _camtri_arrays(cam_soup, ids):
         e2=jnp.asarray(v[:, 2] - v[:, 0]),
         ids=jnp.asarray(ids.astype(np.int32)),
     )
+
+
+import functools as _functools
+import jax as _jax
+
+
+@_jax.jit
+def _apply_camera_update(data, cam_pytree, up):
+    """All sensor-plane row swaps fused into one program (see with_camera)."""
+    v, fn, vn, ids = up["v"], up["fn"], up["vn"], up["ids"]
+    data = dict(data)
+    data["camera"] = cam_pytree
+
+    if "camtri" in data:
+        data["camtri"] = dict(
+            v0=v[:, 0], e1=v[:, 1] - v[:, 0], e2=v[:, 2] - v[:, 0], ids=ids,
+        )
+    if "brute" in data:
+        brute = dict(data["brute"])
+        brute["v0"] = brute["v0"].at[ids].set(v[:, 0])
+        brute["e1"] = brute["e1"].at[ids].set(v[:, 1] - v[:, 0])
+        brute["e2"] = brute["e2"].at[ids].set(v[:, 2] - v[:, 0])
+        data["brute"] = brute
+    if "brute_pallas" in data:
+        bp = dict(data["brute_pallas"])
+        rows = jnp.concatenate(
+            [v[:, 0], v[:, 1] - v[:, 0], v[:, 2] - v[:, 0],
+             jnp.zeros((v.shape[0], 1), jnp.float32)], axis=1,
+        )
+        tris = bp["tris"].reshape(-1, 10)
+        bp["tris"] = tris.at[ids].set(rows).reshape(-1)
+        data["brute_pallas"] = bp
+
+    tri = dict(data["tri"])
+    tri["face_normal"] = tri["face_normal"].at[ids].set(fn)
+    for k, col in (("n0", 0), ("n1", 1), ("n2", 2)):
+        tri[k] = tri[k].at[ids].set(vn[:, col])
+    packed = tri["packed"]
+    rows = packed[ids]
+    rows = rows.at[:, 0:3].set(fn)
+    rows = rows.at[:, 3:6].set(vn[:, 0])
+    rows = rows.at[:, 6:9].set(vn[:, 1])
+    rows = rows.at[:, 9:12].set(vn[:, 2])
+    tri["packed"] = packed.at[ids].set(rows)
+    data["tri"] = tri
+    return data
 
 
 def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
