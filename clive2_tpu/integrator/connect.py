@@ -73,7 +73,8 @@ def connection_pairs(max_bounces: int = MAX_BOUNCES):
 
 
 def connect_paths(cam_path, light_path, scene, width: int, height: int,
-                  max_bounces: int = MAX_BOUNCES):
+                  max_bounces: int = MAX_BOUNCES,
+                  debug_per_strategy: bool = False):
     """All-strategies BDPT connection for a wavefront of path pairs.
 
     cam_path / light_path: outputs of trace.trace_subpaths
@@ -82,6 +83,11 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
       contrib_weight_sum [N]
       light_image [H, W, 3]      (t == 1 splats, scatter-added)
       light_weight_image [H, W]
+
+    debug_per_strategy: additionally return ``per_strategy``, a dict
+    mapping (t, s) -> dict(weighted=[H, W, 3], unweighted=[H, W, 3],
+    weight=[H, W]) full-frame images for that single strategy (t=1 splats
+    scattered separately).  Diagnostic only — not for production renders.
     """
     CV, cam_valid, cam_len = cam_path["vertices"], cam_path["valid"], cam_path["length"]
     LV, light_len = light_path["vertices"], light_path["length"]
@@ -93,62 +99,94 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
     pairs = connection_pairs(max_bounces)
     pair_arr = jnp.asarray(pairs, dtype=jnp.int32)
 
-    # ---- stage A: all ray casts in one mapped traversal --------------------
-    # (A shared per-s permutation was measured and rejected: it saves 30 of
-    # 36 argsorts but gains nothing — the ~28 ms "sort cost" turned out to
-    # be a once-per-program Mosaic init, not a per-cast cost — while losing
-    # the inactive-last compaction that large-scene casts rely on.)
-    def cast(pair):
-        t, s = pair[0], pair[1]
-        lv = _take_d(LV, s - 1)
-        cv = _take_d(CV, t - 1)
-        lens_ok = (t <= cam_len) & (s <= light_len)
-        l_spec = gather_rows(mat["type"], lv["material"]) > 0
-        c_spec = gather_rows(mat["type"], cv["material"]) > 0
-
-        proj_dir = normalize(cam["focal_point"][None, :] - lv["origin"])
-        t1_ok = ~l_spec & (dot(proj_dir, cam["direction"][None, :]) <= 0.0)
-
-        dir_l_to_c = normalize(cv["origin"] - lv["origin"])
-        gen_ok = (
-            ~l_spec
-            & ~c_spec
-            & (dot(lv["normal"], dir_l_to_c) >= DELTA)
-            & (dot(cv["normal"], -dir_l_to_c) >= DELTA)
-        )
-
-        is_t1 = t == 1
-        active = lens_ok & jnp.where(is_t1, t1_ok, gen_ok)
-        direction = jnp.where(is_t1, proj_dir, dir_l_to_c)
-        # per-ray search caps (shadow-ray pruning): a general join only
-        # needs hits up to the camera-side vertex; a t=1 projection only
-        # up to the sensor plane.  Capping best-t before the walk prunes
-        # every subtree beyond the target (measured large on big scenes).
-        delta = cv["origin"] - lv["origin"]
-        d_gen = jnp.sqrt(jnp.maximum(dot(delta, delta), 0.0))
-        den = dot(proj_dir, cam["direction"][None, :])
-        num = dot(cam["center"][None, :] - lv["origin"],
-                  cam["direction"][None, :])
-        d_t1 = jnp.where(den < -1e-12, num / den, jnp.inf)
-        t_max = jnp.where(is_t1, d_t1, d_gen) * 1.001 + 1e-4
-        # sort=True doubles as stream compaction here: most (t, s) casts
-        # have low active fractions (strategy beyond the path's length),
-        # and inactive-last Morton ordering collapses dead lanes into
-        # packets that exit after one root test
-        hit_i, hit_t, _, _ = intersect_scene(
-            lv["origin"], direction, scene, active=active, sort=True,
-            t_max=t_max,
-        )
-        return hit_i, hit_t, active
-
-    cast_tri, cast_t, cast_active = jax.lax.map(cast, pair_arr)
-    pair_index = {ts: i for i, ts in enumerate(pairs)}
+    # ---- stage A: ALL (t, s) ray casts as ONE mega-batched traversal -------
+    # Round-1 mapped 36 sequential kernel instances (lax.map), each paying
+    # its own Morton argsort, padding, and dispatch; merging them into a
+    # single [P*N]-ray call amortizes all of that, and the ONE global sort
+    # compacts every strategy's dead lanes together (measured 2.0x on the
+    # teapots-512 cast stage vs the mapped version).
     pre = precompute_mis(CV, LV, mat, max_bounces)
+    t_i = pair_arr[:, 0] - 1                      # [P]
+    s_i = pair_arr[:, 1] - 1
+    take = lambda X, idx: jnp.take(X, idx, axis=0)
+    lv_o = take(LV["origin"], s_i)                # [P, N, 3]
+    lv_n = take(LV["normal"], s_i)
+    cv_o = take(CV["origin"], t_i)
+    cv_n = take(CV["normal"], t_i)
+    l_spec = take(pre["L"]["spec"], s_i)          # [P, N]
+    c_spec = take(pre["C"]["spec"], t_i)
+
+    t_col = pair_arr[:, 0][:, None]               # [P, 1]
+    s_col = pair_arr[:, 1][:, None]
+    lens_ok = (t_col <= cam_len[None, :]) & (s_col <= light_len[None, :])
+
+    proj_dir = normalize(cam["focal_point"][None, None, :] - lv_o)
+    cam_dir = cam["direction"][None, None, :]
+    t1_ok = ~l_spec & (dot(proj_dir, cam_dir) <= 0.0)
+
+    dir_l_to_c = normalize(cv_o - lv_o)
+    gen_ok = (
+        ~l_spec
+        & ~c_spec
+        & (dot(lv_n, dir_l_to_c) >= DELTA)
+        & (dot(cv_n, -dir_l_to_c) >= DELTA)
+    )
+
+    is_t1 = (pair_arr[:, 0] == 1)[:, None]        # [P, 1]
+    active = lens_ok & jnp.where(is_t1, t1_ok, gen_ok)
+    direction = jnp.where(is_t1[..., None], proj_dir, dir_l_to_c)
+    # per-ray search caps (shadow-ray pruning): a general join only needs
+    # hits up to the camera-side vertex; a t=1 projection only up to the
+    # sensor plane.  Capping best-t before the walk prunes every subtree
+    # beyond the target (measured large on big scenes).
+    delta_pc = cv_o - lv_o
+    d_gen = jnp.sqrt(jnp.maximum(dot(delta_pc, delta_pc), 0.0))
+    den = dot(proj_dir, cam_dir)
+    num = dot(cam["center"][None, None, :] - lv_o, cam_dir)
+    d_t1 = jnp.where(den < -1e-12, num / den, jnp.inf)
+    t_max = jnp.where(is_t1, d_t1, d_gen) * 1.001 + 1e-4
+
+    p_cnt = len(pairs)
+    flat = lambda a: a.reshape((p_cnt * n,) + a.shape[2:])
+    hit_i, hit_t, _, _ = intersect_scene(
+        flat(lv_o), flat(direction), scene, active=flat(active), sort=True,
+        t_max=flat(t_max),
+    )
+    cast_tri = hit_i.reshape(p_cnt, n)
+    cast_t = hit_t.reshape(p_cnt, n)
+    cast_active = active
+    pair_index = {ts: i for i, ts in enumerate(pairs)}
 
     # ---- stage B: per-strategy MIS + contributions (static unroll) ---------
     contribution = jnp.zeros((n, 3), dtype=jnp.float32)
     contrib_weight = jnp.zeros((n,), dtype=jnp.float32)
     splat_pix, splat_val, splat_wgt = [], [], []
+    per_strategy = {}
+
+    def _debug_record(t, s, valid, w, est, pix=None):
+        """est: per-lane UNWEIGHTED estimate [N, 3] (already masked)."""
+        if not debug_per_strategy:
+            return
+        wv = jnp.where(valid, w, 0.0)
+        if pix is None:          # lane i == pixel i (full-frame wavefront)
+            img_u = est.reshape(height, width, 3)
+            img_w = (wv[:, None] * est).reshape(height, width, 3)
+            img_ww = wv.reshape(height, width)
+        else:
+            flat = lambda v: (
+                jnp.zeros((width * height,), jnp.float32)
+                .at[pix].add(v, mode="drop")
+            )
+            img_u = jnp.stack(
+                [flat(est[:, c]) for c in range(3)], -1
+            ).reshape(height, width, 3)
+            img_w = jnp.stack(
+                [flat(wv * est[:, c]) for c in range(3)], -1
+            ).reshape(height, width, 3)
+            img_ww = flat(wv).reshape(height, width)
+        per_strategy[(t, s)] = dict(
+            weighted=img_w, unweighted=img_u, weight=img_ww
+        )
 
     for t in range(1, max_bounces + 1):
         for s in range(0, max_bounces + 1):
@@ -162,10 +200,11 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
                     cast_active[pair_index[(t, s)]],
                     pre,
                 )
-                pix, val, wgt = res
+                pix, val, wgt, est_unw, t1_valid, t1_w = res
                 splat_pix.append(pix)
                 splat_val.append(val)
                 splat_wgt.append(wgt)
+                _debug_record(t, s, t1_valid, t1_w, est_unw, pix=pix)
             else:
                 if s == 0:
                     valid = (t <= cam_len)
@@ -279,6 +318,10 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
                 contrib = (w * g / jnp.maximum(p_s, 1e-38))[:, None] * color
                 contribution += jnp.where(valid[:, None], contrib, 0.0)
                 contrib_weight += jnp.where(valid, w, 0.0)
+                _debug_record(t, s, valid, w, jnp.where(
+                    valid[:, None],
+                    (g / jnp.maximum(p_s, 1e-38))[:, None] * color, 0.0
+                ))
 
     # One scatter pass per channel over the concatenated strategies.
     # (Scattering into an [H*W, 3] accumulator lets XLA pick a transposed
@@ -302,13 +345,16 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
     )
     light_image = jnp.stack(channels, axis=-1).reshape(height, width, 3)
 
-    return dict(
+    out = dict(
         contribution=contribution,
         contrib_weight_sum=contrib_weight,
         light_image=light_image,
         light_weight_image=flat_light_w.reshape(height, width),
         n_rays=jnp.sum(cast_active.astype(jnp.int32)),
     )
+    if debug_per_strategy:
+        out["per_strategy"] = per_strategy
+    return out
 
 
 def _strategy_t1(t, s, CV, LV, cam_len, light_len, scene, width, height,
@@ -438,8 +484,13 @@ def _strategy_t1(t, s, CV, LV, cam_len, light_len, scene, width, height,
     value = (
         (w * shade / jnp.maximum(p_s, 1e-38))[:, None] * lcolor
     )
+    est_unw = jnp.where(
+        valid[:, None],
+        (shade / jnp.maximum(p_s, 1e-38))[:, None] * lcolor, 0.0
+    )
     pix_out = jnp.where(valid, pixel, width * height)  # OOB -> dropped
-    return pix_out, jnp.where(valid[:, None], value, 0.0), jnp.where(valid, w, 0.0)
+    return (pix_out, jnp.where(valid[:, None], value, 0.0),
+            jnp.where(valid, w, 0.0), est_unw, valid, w)
 
 
 def precompute_mis(CV, LV, mat, max_bounces: int):

@@ -353,17 +353,34 @@ def trace_subpaths(key, rays, pytree_scene, from_camera,
     return dict(vertices=verts, valid=valid, length=length, n_rays=n_rays)
 
 
-def unidirectional_image(path):
+def unidirectional_image(path, all_hits: bool = False):
     """s=0-style plain path-traced estimate from a camera path
     (trace.metal:523-528): first stored vertex that hit a light contributes
-    prior color / tot_importance."""
+    prior color / tot_importance.
+
+    all_hits=True accumulates EVERY light-hit vertex instead of breaking at
+    the first (the reference breaks, trace.metal:523-528).  First-hit-only
+    drops transport whose intermediate vertices lie on the emitter surface
+    (the light both emits and reflects), which is ~13% of class-4+ energy
+    on the Cornell preset — the BDPT strategies all cover those paths, so
+    the convergence oracle (tests/test_convergence.py) must use
+    all_hits=True to target the same integral.  The display image keeps
+    the reference's first-hit semantics for pixel parity.
+    """
     hit_light = path["vertices"]["hit_light"]   # [D, N]
     valid = path["valid"]
     mask = valid & (hit_light >= 0)
-    has = jnp.any(mask, axis=0)
-    first = jnp.argmax(mask, axis=0)            # [N]
     color = path["vertices"]["color"]           # [D, N, 3]
     tot = path["vertices"]["tot_importance"]    # [D, N]
+    if all_hits:
+        d = color.shape[0]
+        prior_color = jnp.concatenate(
+            [jnp.ones_like(color[0:1]), color[: d - 1]], axis=0
+        )  # prior vertex's throughput; vertex 0 can't be a light hit anyway
+        est = prior_color / jnp.maximum(tot, 1e-30)[:, :, None]
+        return jnp.sum(jnp.where(mask[:, :, None], est, 0.0), axis=0)
+    has = jnp.any(mask, axis=0)
+    first = jnp.argmax(mask, axis=0)            # [N]
     prior_color = jnp.take_along_axis(
         color, jnp.maximum(first - 1, 0)[None, :, None], axis=0
     )[0]

@@ -97,46 +97,64 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
 
         new_rows_t, new_rows_i, new_rows_u, new_rows_v = [], [], [], []
         for g in range(SUBLANES):
-            row = lambda a: jnp.broadcast_to(a[g:g + 1, :], (SUBLANES, LANES))
-            rox, roy, roz = row(o_x), row(o_y), row(o_z)
-            rdx, rdy, rdz = row(d_x), row(d_y), row(d_z)
-            rhit = row(box_hit.astype(jnp.float32)) > 0.0
-            rbt = row(bt)
+            # per-group skip: a leaf usually interests only part of the
+            # packet (Morton sorting clusters, but divergence remains on
+            # bounce/connection wavefronts) — skipping ray-groups with no
+            # box hit drops the whole 8-triangle MT for that group
+            def compute(rows, g=g):
+                row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
+                                                 (SUBLANES, LANES))
+                rox, roy, roz = row(o_x), row(o_y), row(o_z)
+                rdx, rdy, rdz = row(d_x), row(d_y), row(d_z)
+                rhit = row(box_hit.astype(jnp.float32)) > 0.0
+                rbt = row(bt)
 
-            hx = rdy * e2z - rdz * e2y
-            hy = rdz * e2x - rdx * e2z
-            hz = rdx * e2y - rdy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / a
-            sx = rox - v0x
-            sy = roy - v0y
-            sz = roz - v0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (rdx * qx + rdy * qy + rdz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            ok = (
-                (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > DELTA) & (t < rbt) & rhit & (tri_f >= 0.0)
+                hx = rdy * e2z - rdz * e2y
+                hy = rdz * e2x - rdx * e2z
+                hz = rdx * e2y - rdy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = 1.0 / a
+                sx = rox - v0x
+                sy = roy - v0y
+                sz = roz - v0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (rdx * qx + rdy * qy + rdz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                ok = (
+                    (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > DELTA) & (t < rbt) & rhit & (tri_f >= 0.0)
+                )
+                t = jnp.where(ok, t, INF)
+                tmin = jnp.min(t, axis=0, keepdims=True)      # [1, 128]
+                found = tmin < rbt[0:1, :]
+                is_best = (t == jnp.broadcast_to(tmin, t.shape)) & ok
+                pick = lambda val: jnp.max(
+                    jnp.where(is_best, val, -jnp.float32(INF)),
+                    axis=0, keepdims=True
+                )
+                sel_i = pick(tri_f)
+                sel_u = pick(jnp.where(is_best, u, 0.0))
+                sel_v = pick(jnp.where(is_best, v, 0.0))
+                bt_g, bi_g, bu_g, bv_g = rows
+                return (
+                    jnp.where(found, tmin, bt_g),
+                    jnp.where(found, sel_i.astype(jnp.int32), bi_g),
+                    jnp.where(found, sel_u, bu_g),
+                    jnp.where(found, sel_v, bv_g),
+                )
+
+            rows = (bt[g:g + 1, :], bi[g:g + 1, :],
+                    bu[g:g + 1, :], bv[g:g + 1, :])
+            nt, ni, nu, nv = jax.lax.cond(
+                jnp.any(box_hit[g:g + 1, :]), compute, lambda r: r, rows
             )
-            t = jnp.where(ok, t, INF)
-            tmin = jnp.min(t, axis=0, keepdims=True)          # [1, 128]
-            found = tmin < rbt[0:1, :]
-            is_best = (t == jnp.broadcast_to(tmin, t.shape)) & ok
-            pick = lambda val: jnp.max(
-                jnp.where(is_best, val, -jnp.float32(INF)), axis=0, keepdims=True
-            )
-            sel_i = pick(tri_f)
-            sel_u = pick(jnp.where(is_best, u, 0.0))
-            sel_v = pick(jnp.where(is_best, v, 0.0))
-            new_rows_t.append(jnp.where(found, tmin, bt[g:g + 1, :]))
-            new_rows_i.append(
-                jnp.where(found, sel_i.astype(jnp.int32), bi[g:g + 1, :])
-            )
-            new_rows_u.append(jnp.where(found, sel_u, bu[g:g + 1, :]))
-            new_rows_v.append(jnp.where(found, sel_v, bv[g:g + 1, :]))
+            new_rows_t.append(nt)
+            new_rows_i.append(ni)
+            new_rows_u.append(nu)
+            new_rows_v.append(nv)
 
         return (
             jnp.concatenate(new_rows_t, axis=0),

@@ -285,12 +285,18 @@ def create_scene(
     materials: Optional[MaterialTable] = None,
     extra_geometry: Optional[TriangleSoup] = None,
     box_kwargs: Optional[dict] = None,
+    soup_transform=None,
 ) -> Scene:
     """Assemble a scene (reference scene.py:21-104).
 
     Always injects the camera-plane triangles and the Cornell-style room
     with its ceiling light, then merges any mesh files from ``file_specs``
     (schema: file_path / material / scale / offset, scene.py:50-64).
+
+    ``soup_transform``: optional callable applied to the fully assembled
+    TriangleSoup before the BVH build — lets callers re-flag or re-material
+    geometry wholesale (e.g. the white-furnace test marks every wall
+    emissive, tests/test_furnace.py).
     """
     camera = Camera(
         center=np.asarray(cam_center, dtype=np.float64),
@@ -310,6 +316,9 @@ def create_scene(
             scale=spec.get("scale", 1.0),
             offset=spec.get("offset", ZERO_VECTOR),
         )
+
+    if soup_transform is not None:
+        soup = soup_transform(soup)
 
     t0 = time.time()
     data, bvh, cam_ids = _build_scene_pytree(

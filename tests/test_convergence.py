@@ -1,21 +1,29 @@
 """Per-pixel BDPT-vs-unidirectional convergence oracle (VERDICT r1 #8).
 
 The round-1 oracle compared only TOTAL energy (±15% band) — a MIS-weight
-bug that redistributes energy spatially would pass it.  This test renders
-a 64x64 Cornell at 256 spp and compares the COUNT-NORMALIZED BDPT and
-unidirectional images per 8x8 pixel block: both estimators target the same
-integral, so converged blocks must agree everywhere, not just in sum.
+bug that redistributes energy spatially would pass it.  These tests compare
+the COUNT-NORMALIZED BDPT and unidirectional (BSDF-sampled) estimates per
+8x8 pixel block on a 64x64 Cornell at 256 spp.
 
-History (round 2): this oracle exposed that the reference estimator (and
-our round-1 transcription of it) disagrees with the unidirectional image
-by 0.28x-10.9x per block (globally 0.99 by near-cancellation!).  The
-corrected estimator (constants.py:REFERENCE_MIS docstring lists the fixes:
-junction pdf overrides, true single-cosine pdf-ratio chains, emission
-cosine, diffuse-BRDF junction terms, sensor-plane splat Jacobian, robust
-grazing visibility) brings every block into [0.95, 1.35].  The first test
-locks that in as a regression bound; the second records the remaining gap
-to the strict 12% target (residual inconsistency in the >=4-vertex class
-weights, still under investigation).
+Two subtleties make a naive total-vs-total comparison systematically off,
+both diagnosed with scripts/diag_mis.py (round 2):
+
+  1. the reference's unidirectional scan breaks at the FIRST light hit
+     (trace.metal:523-528), dropping transport whose intermediate vertices
+     lie on the emitter surface (~13% of class-4+ energy on Cornell).  The
+     oracle uses unidirectional_image(all_hits=True), which accumulates
+     every light-hit vertex — the same integral BDPT targets.
+  2. with camera subpaths capped at MAX_BOUNCES=6 vertices, the
+     unidirectional estimator reaches only transport classes k = t <= 6,
+     while BDPT strategies cover k = t+s up to 12.  The strict test
+     therefore compares CLASS-LIMITED sums (k <= 6 on both sides) built
+     from connect_paths(debug_per_strategy=True); the totals test bounds
+     the known BDPT-only extra-class energy instead (~4-5% global).
+
+With the corrected estimator (constants.py:REFERENCE_MIS docstring) every
+per-strategy unweighted estimate agrees with its class oracle to <1.5% and
+the weighted class sums to <1% (diag_mis at 200 spp).  The reference
+estimator fails the strict test at rel.max() ~ 1.8.
 
 Reference analog: the unidirectional image is the reference's own implicit
 cross-check (trace.metal:523-528, renderer.py:309-316); SURVEY §4 lists
@@ -28,60 +36,94 @@ import numpy as np
 import pytest
 
 import clive2_tpu as c2
+from clive2_tpu.constants import MAX_BOUNCES
+from clive2_tpu.integrator import trace as T
+from clive2_tpu.integrator.connect import connect_paths
 from clive2_tpu.integrator.render import render_sample
 
+W = H = 64
+SPP = 256
+BLK = 8
 
-def _block_images(spp=256, w=64, h=64):
-    scene = c2.create_scene_from_preset("empty", pixel_width=w,
-                                        pixel_height=h)
+
+def _one_sample(key, scene_data):
+    """One BDPT sample with per-strategy debug images + all-hits uni."""
+    cam = scene_data["camera"]
+    k_cam, k_light, k_trace = jax.random.split(key, 3)
+    cam_rays, _ = T.generate_camera_rays(k_cam, cam, W, H)
+    light_rays = T.generate_light_rays(
+        k_light, scene_data["lights"], scene_data["mat"], W * H
+    )
+    n = W * H
+    merged = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), cam_rays, light_rays
+    )
+    fc = jnp.concatenate([jnp.ones((n,), bool), jnp.zeros((n,), bool)])
+    path = T.trace_subpaths(k_trace, merged, scene_data, from_camera=fc)
+    half = lambda tree, sl: jax.tree.map(lambda a: a[:, sl], tree)
+    cam_path = dict(
+        vertices=half(path["vertices"], slice(0, n)),
+        valid=path["valid"][:, :n], length=path["length"][:n],
+    )
+    light_path = dict(
+        vertices=half(path["vertices"], slice(n, 2 * n)),
+        valid=path["valid"][:, n:], length=path["length"][n:],
+    )
+    conn = connect_paths(cam_path, light_path, scene_data, W, H,
+                         debug_per_strategy=True)
+    uni_all = T.unidirectional_image(cam_path, all_hits=True).reshape(H, W, 3)
+
+    limited = jnp.zeros((H, W, 3))
+    total = jnp.zeros((H, W, 3))
+    for (t, s), d in conn["per_strategy"].items():
+        total = total + d["weighted"]
+        if t + s <= MAX_BOUNCES:
+            limited = limited + d["weighted"]
+    return dict(limited=limited, total=total, uni=uni_all)
+
+
+@pytest.fixture(scope="module")
+def images():
+    scene = c2.create_scene_from_preset("empty", pixel_width=W,
+                                        pixel_height=H)
     key = jax.random.key(123)
 
     @jax.jit
     def step(i, acc):
-        out = render_sample(jax.random.fold_in(key, i), scene.data, w, h)
-        return dict(
-            contrib=acc["contrib"] + out["image"],
-            uni=acc["uni"] + out["unidirectional"],
-        )
+        out = _one_sample(jax.random.fold_in(key, i), scene.data)
+        return jax.tree.map(lambda a, b: a + b, acc, out)
 
-    acc = dict(contrib=jnp.zeros((h, w, 3)), uni=jnp.zeros((h, w, 3)))
-    acc = jax.lax.fori_loop(0, spp, step, acc)
-    # count-normalized comparison: out["image"] is the raw MIS-weighted
-    # contribution sum (incl. splats) whose expectation IS the pixel value
-    bdpt = np.asarray(acc["contrib"] / spp)
-    uni = np.asarray(acc["uni"] / spp)
-    blk = lambda im: im.reshape(h // 8, 8, w // 8, 8, 3).mean(axis=(1, 3))
-    return blk(bdpt), blk(uni)
+    acc = dict(limited=jnp.zeros((H, W, 3)), total=jnp.zeros((H, W, 3)),
+               uni=jnp.zeros((H, W, 3)))
+    acc = jax.lax.fori_loop(0, SPP, step, acc)
+    return jax.tree.map(lambda a: np.asarray(a) / SPP, acc)
 
 
-@pytest.fixture(scope="module")
-def blocks():
-    return _block_images()
+def _blocks(im):
+    return im.reshape(H // BLK, BLK, W // BLK, BLK, 3).mean(axis=(1, 3))
 
 
-def test_bdpt_matches_unidirectional_per_block(blocks):
-    b_b, b_u = blocks
+def test_bdpt_class_limited_matches_unidirectional_strict(images):
+    """Strict per-block oracle: same transport classes on both sides."""
+    b_b, b_u = _blocks(images["limited"]), _blocks(images["uni"])
     scale = b_u.mean()
     assert scale > 0
     rel = np.abs(b_b - b_u) / (0.5 * (b_b + b_u) + 0.05 * scale)
-    # regression bound at the corrected estimator's achieved agreement;
-    # the reference estimator fails this at rel.max() ~ 1.8
-    assert rel.max() < 0.45, (
+    assert rel.max() < 0.12, (
         f"max block deviation {rel.max():.3f} at "
         f"{np.unravel_index(rel.argmax(), rel.shape)}"
     )
-    assert abs(b_b.mean() / b_u.mean() - 1.0) < 0.10
-
-
-@pytest.mark.xfail(
-    strict=False,
-    reason="target bound: residual ~1.1-1.3x excess in blocks dominated by "
-    "4+-vertex transport (higher-class MIS weight consistency), under "
-    "investigation",
-)
-def test_bdpt_matches_unidirectional_per_block_strict(blocks):
-    b_b, b_u = blocks
-    scale = b_u.mean()
-    rel = np.abs(b_b - b_u) / (0.5 * (b_b + b_u) + 0.05 * scale)
-    assert rel.max() < 0.12
     assert abs(b_b.mean() / b_u.mean() - 1.0) < 0.03
+
+
+def test_bdpt_total_vs_unidirectional_regression(images):
+    """Totals: BDPT additionally carries class-7..12 transport the depth-6
+    unidirectional estimator cannot reach — bound it instead of hiding it."""
+    b_b, b_u = _blocks(images["total"]), _blocks(images["uni"])
+    ratio = b_b.mean() / b_u.mean()
+    assert 1.00 <= ratio < 1.12, f"global ratio {ratio:.4f}"
+    scale = b_u.mean()
+    rel = (b_b - b_u) / (0.5 * (b_b + b_u) + 0.05 * scale)
+    # extra-class energy is nonnegative everywhere; noise bound below
+    assert rel.min() > -0.12
+    assert rel.max() < 0.30
