@@ -36,7 +36,7 @@ from ..constants import DELTA
 SUBLANES = 8
 LANES = 128
 BLOCK_RAYS = SUBLANES * LANES  # 1024
-STACK_DEPTH = 192
+STACK_DEPTH = 384  # quad-pop pushes up to 8 entries per iteration
 MAX_LEAF = 8
 LEAF_COLS = 16  # v0(3) e1(3) e2(3) tri(1) pad(6)
 INF = float("inf")
@@ -56,6 +56,7 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
     active = act[:] > 0.0
 
     def box_test(node, base, bt):
+        """Returns (hit mask, per-ray entry distance; +inf where missed)."""
         off = node * 12 + base
         t0x = (nodebox[off + 0] - o_x) * invx
         t1x = (nodebox[off + 3] - o_x) * invx
@@ -71,21 +72,25 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.minimum(jnp.maximum(t0z, t1z), bt),
         )
-        return (tmin <= tmax) & active
+        hit = (tmin <= tmax) & active
+        return hit, jnp.where(hit, tmin, INF)
 
-    def leaf_tests(lid, box_hit, bt, bi, bu, bv):
-        """Transposed MT: [8 tris x 128 rays] per vector op.
+    def leaf_tests(lid, box_hit):
+        """Transposed MT: [8 tris x 128 rays] per vector op, accumulating
+        the best hit IN the output refs (out_t/i/u/v double as the
+        accumulators, like the streaming kernel) — so the traversal loop
+        carries only the scalar stack pointer and leaf visits hang off
+        zero-carry ``pl.when`` blocks instead of vector-carrying lax.cond.
 
-        The leaf table is stored attribute-major [16, n_slots] so VMEM lane
-        tiling wastes nothing (a slot-major [n_slots, 16] layout pads each
-        16-float row to 128 lanes — 8x the memory).  Mosaic only allows
-        128-aligned dynamic lane offsets, so: load the aligned 128-lane
-        group, roll the leaf's 8 slots to the front, transpose to the
-        tri-major [8, 16] tile."""
-        group = pl.multiple_of((lid // 16) * LANES, LANES)
-        wide = leaff[:, pl.ds(group, LANES)]               # [16, 128]
-        rolled = pltpu.roll(wide, shift=-(lid % 16) * MAX_LEAF, axis=1)
-        tile = rolled[:, 0:MAX_LEAF].T                     # [8, 16]
+        The leaf table is stored tri-major [8 slots, 16 * n_leaves]: one
+        aligned [8, 128] load covers 8 leaves, a half-size roll brings the
+        target leaf's 16 attribute columns to the front, and the [8, 16]
+        tile is ready — no transpose (the previous attribute-major layout
+        paid a [16, 128] roll plus a relayout transpose per visit)."""
+        group = pl.multiple_of((lid // MAX_LEAF) * LANES, LANES)
+        wide = leaff[:, pl.ds(group, LANES)]               # [8, 128]
+        rolled = pltpu.roll(wide, shift=-(lid % MAX_LEAF) * LEAF_COLS, axis=1)
+        tile = rolled[:, 0:LEAF_COLS]                      # [8, 16]
 
         def col(k):
             return jnp.broadcast_to(tile[:, k:k + 1], (SUBLANES, LANES))
@@ -95,162 +100,147 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
         e2x, e2y, e2z = col(6), col(7), col(8)
         tri_f = col(9)
 
-        new_rows_t, new_rows_i, new_rows_u, new_rows_v = [], [], [], []
+        # all 8 ray-groups run unconditionally: a per-group lax.cond skip
+        # was measured neutral-to-negative (the scalar branch costs as
+        # much as the skipped vector MT) and it blocks instruction overlap
         for g in range(SUBLANES):
-            # per-group skip: a leaf usually interests only part of the
-            # packet (Morton sorting clusters, but divergence remains on
-            # bounce/connection wavefronts) — skipping ray-groups with no
-            # box hit drops the whole 8-triangle MT for that group
-            def compute(rows, g=g):
-                row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
-                                                 (SUBLANES, LANES))
-                rox, roy, roz = row(o_x), row(o_y), row(o_z)
-                rdx, rdy, rdz = row(d_x), row(d_y), row(d_z)
-                rhit = row(box_hit.astype(jnp.float32)) > 0.0
-                rbt = row(bt)
+            row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
+                                             (SUBLANES, LANES))
+            rox, roy, roz = row(o_x), row(o_y), row(o_z)
+            rdx, rdy, rdz = row(d_x), row(d_y), row(d_z)
+            rhit = row(box_hit.astype(jnp.float32)) > 0.0
+            rbt_row = out_t[g:g + 1, :]                    # [1, 128]
+            rbt = jnp.broadcast_to(rbt_row, (SUBLANES, LANES))
 
-                hx = rdy * e2z - rdz * e2y
-                hy = rdz * e2x - rdx * e2z
-                hz = rdx * e2y - rdy * e2x
-                a = e1x * hx + e1y * hy + e1z * hz
-                f = 1.0 / a
-                sx = rox - v0x
-                sy = roy - v0y
-                sz = roz - v0z
-                u = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                v = f * (rdx * qx + rdy * qy + rdz * qz)
-                t = f * (e2x * qx + e2y * qy + e2z * qz)
-                ok = (
-                    (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-                    & (t > DELTA) & (t < rbt) & rhit & (tri_f >= 0.0)
-                )
-                t = jnp.where(ok, t, INF)
-                tmin = jnp.min(t, axis=0, keepdims=True)      # [1, 128]
-                found = tmin < rbt[0:1, :]
-                is_best = (t == jnp.broadcast_to(tmin, t.shape)) & ok
-                pick = lambda val: jnp.max(
-                    jnp.where(is_best, val, -jnp.float32(INF)),
-                    axis=0, keepdims=True
-                )
-                sel_i = pick(tri_f)
-                sel_u = pick(jnp.where(is_best, u, 0.0))
-                sel_v = pick(jnp.where(is_best, v, 0.0))
-                bt_g, bi_g, bu_g, bv_g = rows
-                return (
-                    jnp.where(found, tmin, bt_g),
-                    jnp.where(found, sel_i.astype(jnp.int32), bi_g),
-                    jnp.where(found, sel_u, bu_g),
-                    jnp.where(found, sel_v, bv_g),
-                )
-
-            rows = (bt[g:g + 1, :], bi[g:g + 1, :],
-                    bu[g:g + 1, :], bv[g:g + 1, :])
-            nt, ni, nu, nv = jax.lax.cond(
-                jnp.any(box_hit[g:g + 1, :]), compute, lambda r: r, rows
+            hx = rdy * e2z - rdz * e2y
+            hy = rdz * e2x - rdx * e2z
+            hz = rdx * e2y - rdy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a
+            sx = rox - v0x
+            sy = roy - v0y
+            sz = roz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (rdx * qx + rdy * qy + rdz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            ok = (
+                (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > DELTA) & (t < rbt) & rhit & (tri_f >= 0.0)
             )
-            new_rows_t.append(nt)
-            new_rows_i.append(ni)
-            new_rows_u.append(nu)
-            new_rows_v.append(nv)
-
-        return (
-            jnp.concatenate(new_rows_t, axis=0),
-            jnp.concatenate(new_rows_i, axis=0),
-            jnp.concatenate(new_rows_u, axis=0),
-            jnp.concatenate(new_rows_v, axis=0),
-        )
+            t = jnp.where(ok, t, INF)
+            tmin = jnp.min(t, axis=0, keepdims=True)       # [1, 128]
+            found = tmin < rbt_row
+            is_best = (t == jnp.broadcast_to(tmin, t.shape)) & ok
+            pick = lambda val: jnp.max(
+                jnp.where(is_best, val, -jnp.float32(INF)),
+                axis=0, keepdims=True
+            )
+            sel_i = pick(tri_f)
+            sel_u = pick(jnp.where(is_best, u, 0.0))
+            sel_v = pick(jnp.where(is_best, v, 0.0))
+            out_t[g:g + 1, :] = jnp.where(found, tmin, rbt_row)
+            out_i[g:g + 1, :] = jnp.where(
+                found, sel_i.astype(jnp.int32), out_i[g:g + 1, :])
+            out_u[g:g + 1, :] = jnp.where(found, sel_u, out_u[g:g + 1, :])
+            out_v[g:g + 1, :] = jnp.where(found, sel_v, out_v[g:g + 1, :])
 
     stack[0] = 0
+    # outputs double as best-hit accumulators; best-t starts at the
+    # caller's per-ray cap (inf when uncapped): a shadow/visibility cast
+    # seeds it with the segment length, pruning every subtree beyond the
+    # target before the walk begins
+    out_t[:] = tm[:]
+    out_i[:] = jnp.full((SUBLANES, LANES), -1, dtype=jnp.int32)
+    out_u[:] = jnp.zeros((SUBLANES, LANES), dtype=jnp.float32)
+    out_v[:] = jnp.zeros((SUBLANES, LANES), dtype=jnp.float32)
 
-    def cond(c):
-        return c[0] > 0
+    def cond(sp):
+        return sp > 0
 
-    # representative packet origin for ordered (near-first) descent
-    rep_x = ox[0, 0]
-    rep_y = oy[0, 0]
-    rep_z = oz[0, 0]
+    # Pop up to QUAD stack entries per while-loop iteration.  A single-pop
+    # loop is latency-bound, not throughput-bound: ~370 cycles/pop against
+    # ~40 cycles of box-test math (SMEM load -> vector test -> cross-lane
+    # reduction -> scalar branch is one long serial dependency chain).
+    # Batching QUAD pops overlaps QUAD independent chains: all SMEM loads
+    # issue together, all 2*QUAD box tests pipeline on the VPU, and all
+    # 2*QUAD reductions share one sync window.  The loop carries ONLY the
+    # scalar stack pointer — best-hit state lives in the output refs, so
+    # leaf visits are zero-carry pl.when blocks (a vector-carrying
+    # lax.cond pays register copies for all four [8, 128] carries on both
+    # branches, every iteration).
+    QUAD = 4
 
-    def body(c):
-        sp, bt, bi, bu, bv = c
-        node = stack[sp - 1]
-        sp = sp - 1
+    def body(sp):
+        take = jnp.minimum(sp, QUAD)
+        bt = out_t[:]
 
-        hit_a = box_test(node, 0, bt)
-        hit_b = box_test(node, 6, bt)
-        any_a = jnp.any(hit_a)
-        any_b = jnp.any(hit_b)
+        # phase 1: pop + box-test (independent chains, no sync points)
+        info = []
+        for j in range(QUAD):
+            node = stack[jnp.maximum(sp - 1 - j, 0)]
+            ca = childs[node * 2]
+            cb = childs[node * 2 + 1]
+            hit_a, tmin_a = box_test(node, 0, bt)
+            hit_b, tmin_b = box_test(node, 6, bt)
+            info.append((ca, cb, hit_a, tmin_a, hit_b, tmin_b))
+        sp = sp - take
 
-        ca = childs[node * 2]
-        cb = childs[node * 2 + 1]
-        a_leaf = ca < 0
-        b_leaf = cb < 0
+        # phase 2: one reduction window; entries beyond `take` are voided
+        # (stack slots below sp hold stale-but-valid node ids, so the
+        # clamped loads above were safe to issue)
+        nears = []
+        for j, (ca, cb, hit_a, tmin_a, hit_b, tmin_b) in enumerate(info):
+            valid_j = j < take
+            na = jnp.where(valid_j, jnp.min(tmin_a), INF)
+            nb = jnp.where(valid_j, jnp.min(tmin_b), INF)
+            nears.append((na, nb))
 
-        push_b = any_b & (~b_leaf)
-        push_a = any_a & (~a_leaf)
+        # phase 3: pushes — deepest-popped entry's children first so the
+        # new top of stack is the top-popped node's nearest child
+        for j in range(QUAD - 1, -1, -1):
+            ca, cb = info[j][0], info[j][1]
+            na, nb = nears[j]
+            push_a = (na < INF) & (ca >= 0)
+            push_b = (nb < INF) & (cb >= 0)
+            both = push_a & push_b
+            a_near = na <= nb
+            first = jnp.where(a_near, cb, ca)    # far pushed first
+            second = jnp.where(a_near, ca, cb)   # near popped first
 
-        # near-first ordering: pop the child whose box center is closer to
-        # the representative origin first (prunes the far subtree via the
-        # tightened best-t).  Scalar math only.
-        off = node * 12
+            @pl.when(both)
+            def _(first=first, second=second, sp=sp):
+                stack[sp] = first
+                stack[sp + 1] = second
 
-        def center_d2(base):
-            cx = (nodebox[off + base + 0] + nodebox[off + base + 3]) * 0.5 - rep_x
-            cy = (nodebox[off + base + 1] + nodebox[off + base + 4]) * 0.5 - rep_y
-            cz = (nodebox[off + base + 2] + nodebox[off + base + 5]) * 0.5 - rep_z
-            return cx * cx + cy * cy + cz * cz
+            @pl.when(push_b & ~both)
+            def _(cb=cb, sp=sp):
+                stack[sp] = cb
 
-        a_near = center_d2(0) <= center_d2(6)
-        both = push_a & push_b
-        first = jnp.where(a_near, cb, ca)    # far pushed first
-        second = jnp.where(a_near, ca, cb)   # near pushed last -> popped first
+            @pl.when(push_a & ~both)
+            def _(ca=ca, sp=sp):
+                stack[sp] = ca
 
-        @pl.when(both)
-        def _():
-            stack[sp] = first
-            stack[sp + 1] = second
+            sp = sp + push_a.astype(jnp.int32) + push_b.astype(jnp.int32)
 
-        @pl.when(push_b & ~both)
-        def _():
-            stack[sp] = cb
+        # phase 4: leaf children — side-effecting, no carried vectors
+        for j in range(QUAD):
+            ca, cb, hit_a, tmin_a, hit_b, tmin_b = info[j]
+            na, nb = nears[j]
 
-        @pl.when(push_a & ~both)
-        def _():
-            stack[sp] = ca
+            @pl.when((na < INF) & (ca < 0))
+            def _(ca=ca, hit=hit_a):
+                leaf_tests(-(ca + 1), hit)
 
-        sp_out = sp + push_a.astype(jnp.int32) + push_b.astype(jnp.int32)
+            @pl.when((nb < INF) & (cb < 0))
+            def _(cb=cb, hit=hit_b):
+                leaf_tests(-(cb + 1), hit)
 
-        bt, bi, bu, bv = jax.lax.cond(
-            any_a & a_leaf,
-            lambda args: leaf_tests(-(ca + 1), hit_a, *args),
-            lambda args: args,
-            (bt, bi, bu, bv),
-        )
-        bt, bi, bu, bv = jax.lax.cond(
-            any_b & b_leaf,
-            lambda args: leaf_tests(-(cb + 1), hit_b, *args),
-            lambda args: args,
-            (bt, bi, bu, bv),
-        )
-        return sp_out, bt, bi, bu, bv
+        return sp
 
-    # best-t starts at the caller's per-ray cap (inf when uncapped): a
-    # shadow/visibility cast seeds it with the segment length, pruning
-    # every subtree beyond the target before the walk begins
-    init = (
-        jnp.int32(1),
-        tm[:],
-        jnp.full((SUBLANES, LANES), -1, dtype=jnp.int32),
-        jnp.zeros((SUBLANES, LANES), dtype=jnp.float32),
-        jnp.zeros((SUBLANES, LANES), dtype=jnp.float32),
-    )
-    _, bt, bi, bu, bv = jax.lax.while_loop(cond, body, init)
-    out_t[:] = bt
-    out_i[:] = bi
-    out_u[:] = bu
-    out_v[:] = bv
+    jax.lax.while_loop(cond, body, jnp.int32(1))
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks",))
@@ -420,17 +410,25 @@ def pack_bvh2(bvh, soup, leaf=None):
     nodebox = nodebox.ravel()  # SMEM pads 2D minor dims to 128 words
 
     tables = leaf_tables(bvh, soup) if leaf is None else leaf
-    lk = bvh.n_leaves * MAX_LEAF
-    leaff = np.zeros((lk, LEAF_COLS), dtype=np.float32)
-    leaff[:, 0:3] = tables["v0"].reshape(lk, 3)
-    leaff[:, 3:6] = tables["e1"].reshape(lk, 3)
-    leaff[:, 6:9] = tables["e2"].reshape(lk, 3)
-    leaff[:, 9] = tables["tri_index"].reshape(lk).astype(np.float32)
-    # attribute-major layout, lane dim padded to the 128-lane tile
-    lk_pad = ((lk + LANES - 1) // LANES) * LANES
-    leafT = np.zeros((LEAF_COLS, lk_pad), dtype=np.float32)
-    leafT[:, :lk] = leaff.T
-    leafT[9, lk:] = -1.0  # padding slots carry tri_idx = -1 (inert)
+    # tri-major layout [8 slots, 16 * n_leaves]: leaf l's [8, 16] tile
+    # occupies lane columns [16l, 16l+16) — one aligned [8, 128] load
+    # covers 8 leaves and a half-size roll fronts the target tile with no
+    # transpose (see _kernel.leaf_tests)
+    n_leaves = bvh.n_leaves
+    attrs = np.zeros((n_leaves, MAX_LEAF, LEAF_COLS), dtype=np.float32)
+    attrs[:, :, 0:3] = tables["v0"]
+    attrs[:, :, 3:6] = tables["e1"]
+    attrs[:, :, 6:9] = tables["e2"]
+    attrs[:, :, 9] = tables["tri_index"].astype(np.float32)
+    cols = n_leaves * LEAF_COLS
+    cols_pad = ((cols + LANES - 1) // LANES) * LANES
+    leafT = np.zeros((MAX_LEAF, cols_pad), dtype=np.float32)
+    # [L, 8, 16] -> [8, L, 16] -> [8, L*16]
+    leafT[:, :cols] = attrs.transpose(1, 0, 2).reshape(MAX_LEAF, cols)
+    # padding columns: mark the tri-index attr as -1 so a rolled read of
+    # the final partial group stays inert
+    for c in range(cols + 9, cols_pad, LEAF_COLS):
+        leafT[:, c] = -1.0
     leaff = leafT
     return dict(
         nodebox=nodebox,
@@ -446,8 +444,8 @@ def smem_bytes(packed) -> int:
 
 
 def vmem_bytes(packed) -> int:
-    """Actual VMEM footprint of the leaf table (attribute-major layout has
-    no lane-padding waste: 16 sublane-rows x n_slots lanes)."""
+    """Actual VMEM footprint of the leaf table (tri-major layout has no
+    lane-padding waste: 8 sublane-rows x 16*n_leaves lanes)."""
     rows, cols = packed["leaff"].shape
     padded_rows = ((rows + SUBLANES - 1) // SUBLANES) * SUBLANES
     padded_cols = ((cols + LANES - 1) // LANES) * LANES

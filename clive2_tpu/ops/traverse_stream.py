@@ -99,12 +99,8 @@ def _kernel(nodebox, childs, leafblocks,
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.minimum(jnp.maximum(t0z, t1z), bt),
         )
-        return (tmin <= tmax) & active
-
-    # representative packet origin for ordered (near-first) descent
-    rep_x = ox[0, 0]
-    rep_y = oy[0, 0]
-    rep_z = oz[0, 0]
+        hit = (tmin <= tmax) & active
+        return hit, jnp.where(hit, tmin, INF)
 
     # ---- drain: wait the oldest DMA, intersect its block -------------------
     def drain(qhead):
@@ -234,10 +230,14 @@ def _kernel(nodebox, childs, leafblocks,
             sp = sp - 1
             bt = out_t[:]
 
-            hit_a = box_test(node, 0, bt)
-            hit_b = box_test(node, 6, bt)
-            any_a = jnp.any(hit_a)
-            any_b = jnp.any(hit_b)
+            hit_a, tmin_a = box_test(node, 0, bt)
+            hit_b, tmin_b = box_test(node, 6, bt)
+            # true near-first ordering from the actual slab entry distances
+            # (see traverse_pallas2._kernel)
+            near_a = jnp.min(tmin_a)
+            near_b = jnp.min(tmin_b)
+            any_a = near_a < INF
+            any_b = near_b < INF
 
             ca = childs[node * 2]
             cb = childs[node * 2 + 1]
@@ -249,18 +249,7 @@ def _kernel(nodebox, childs, leafblocks,
             enq_a = any_a & a_leaf
             enq_b = any_b & b_leaf
 
-            off = node * 12
-
-            def center_d2(base):
-                cx = (nodebox[off + base + 0] + nodebox[off + base + 3]) \
-                    * 0.5 - rep_x
-                cy = (nodebox[off + base + 1] + nodebox[off + base + 4]) \
-                    * 0.5 - rep_y
-                cz = (nodebox[off + base + 2] + nodebox[off + base + 5]) \
-                    * 0.5 - rep_z
-                return cx * cx + cy * cy + cz * cz
-
-            a_near = center_d2(0) <= center_d2(6)
+            a_near = near_a <= near_b
             both = push_a & push_b
             first = jnp.where(a_near, cb, ca)
             second = jnp.where(a_near, ca, cb)
