@@ -33,6 +33,11 @@ def main(argv=None):
     parser.add_argument("--frame-stride", type=int, default=1,
                         help="render every k-th frame (multi-process sharding)")
     parser.add_argument("--frame-offset", type=int, default=0)
+    parser.add_argument("--aot-cache", type=str,
+                        default=os.environ.get("CLIVE2_AOT_CACHE",
+                                               "output/.aot-cache"),
+                        help="directory for serialized compiled executables "
+                        "(pass '' to disable)")
     args = parser.parse_args(argv)
 
     from ..renderer import Renderer
@@ -66,7 +71,13 @@ def main(argv=None):
             scene = base_scene.with_camera(
                 orbit_camera(f, args.movie_frames, args.width, args.height)
             )
-        renderer = Renderer(scene, seed=args.seed + f)
+        # aot only for the first frame: later frames reuse the in-process
+        # jit cache (same shapes), which is already warm
+        renderer = Renderer(scene, seed=args.seed + f,
+                            aot_cache=(args.aot_cache or None)
+                            if f == frames[0] else None)
+        if getattr(renderer, "aot_status", None):
+            print(f"aot cache: {renderer.aot_status}")
         for i in range(args.samples):
             t0 = time.time()
             renderer.run_sample()

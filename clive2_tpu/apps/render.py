@@ -45,6 +45,12 @@ def main(argv=None):
     parser.add_argument("--chunk-rows", type=int, default=None,
                         help="render in row stripes of this height (keeps "
                         "path arrays in HBM for 4K-class frames)")
+    parser.add_argument("--aot-cache", type=str,
+                        default=os.environ.get("CLIVE2_AOT_CACHE",
+                                               "output/.aot-cache"),
+                        help="directory for serialized compiled executables "
+                        "(skips the multi-minute Mosaic recompile for seen "
+                        "configurations; pass '' to disable)")
     args = parser.parse_args(argv)
 
     from .. import constants
@@ -59,7 +65,10 @@ def main(argv=None):
     print(f"scene '{args.scene}': {scene.n_triangles} triangles, "
           f"{scene.n_nodes} BVH nodes, built in {scene.build_seconds:.2f}s")
 
-    renderer = Renderer(scene, seed=args.seed, chunk_rows=args.chunk_rows)
+    renderer = Renderer(scene, seed=args.seed, chunk_rows=args.chunk_rows,
+                        aot_cache=args.aot_cache or None)
+    if getattr(renderer, "aot_status", None):
+        print(f"aot cache: {renderer.aot_status}")
     if args.checkpoint and os.path.exists(args.checkpoint):
         renderer.load_checkpoint(args.checkpoint)
         print(f"resumed at sample {renderer.samples} from {args.checkpoint}")

@@ -157,7 +157,12 @@ def intersect_scene(origin, direction, scene, active=None, sort=False,
     if "brute" in scene:
         return intersect_brute_chunked(origin, direction, scene["brute"],
                                        active=active, t_max=t_max)
-    if "pallas" in scene:
+    if "wide" in scene:
+        from .traverse_wide import intersect_wide
+
+        hit = intersect_wide(origin, direction, scene["wide"],
+                             active=active, sort=sort, t_max=t_max)
+    elif "pallas" in scene:
         from .traverse_pallas2 import intersect_pallas2
 
         hit = intersect_pallas2(origin, direction, scene["pallas"],

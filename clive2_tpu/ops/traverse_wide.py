@@ -1,0 +1,415 @@
+"""Pallas TPU 8-wide (BVH8) packet traversal.
+
+Successor to the binary packet kernel (traverse_pallas2.py), built from
+its measurements: a binary pop costs ~370 cycles of which ~40 are box
+math — the serial SMEM-scalar-load -> broadcast -> reduce -> branch chain
+dominates, so the wide kernel restructures the NODE FETCH and LEAF FETCH
+around whole-tile vector loads:
+
+  * The SAH binary tree is collapsed into 8-wide nodes (largest-surface-
+    area child expanded first, the standard BVH8 recipe).  One pop now
+    retires what took ~3-4 binary pops.
+  * All 8 children's boxes load as ONE [48, 128] VMEM roll (row f*8+c =
+    field f of child c, lane = wide-node id); the slab test runs per
+    ray-group as [8 children x 128 rays] per vector op — the same
+    transposed trick the leaf MT uses, with zero scalar loads.
+  * Each wide node's leaf children live in ONE slot-aligned [8, 128]
+    leaf block (slot c = child c), so the whole leaf phase of a node does
+    a single aligned load — no per-leaf roll — and per-slot Möller-
+    Trumbore runs under a pl.when only for hit slots.
+  * Best-hit state accumulates in the output refs; the traversal loop
+    carries only the scalar stack pointer.
+
+SMEM cost collapses to ~36 B per wide node (~0.6 B/triangle), so the
+scene ceiling moves from SMEM to the VMEM leaf table (~64 B/triangle).
+
+Replaces /root/reference/src/trace.metal:144-176 (per-thread stack walk)
+for mid-size scenes; same contract as intersect_bvh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import DELTA
+from .traverse_pallas2 import _morton_key
+
+SUBLANES = 8
+LANES = 128
+BLOCK_RAYS = SUBLANES * LANES  # 1024
+STACK_DEPTH = 256              # only inner wide nodes are ever pushed
+WIDE = 8                       # children per node
+LEAF_COLS = 16                 # v0(3) e1(3) e2(3) tri(1) pad(6)
+BOX_FIELDS = 6                 # minx miny minz maxx maxy maxz
+BIG = 1e30                     # empty-child box sentinel (never hits)
+INF = float("inf")
+
+
+def _kernel(wideboxes, childs, lblocks, leaff,
+            ox, oy, oz, dx, dy, dz, act, tm,
+            out_t, out_i, out_u, out_v, stack):
+    tiny = jnp.float32(1e-30)
+
+    def inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < tiny,
+                               jnp.where(d < 0, -tiny, tiny), d)
+
+    invx, invy, invz = inv(dx[:]), inv(dy[:]), inv(dz[:])
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    active = act[:] > 0.0
+
+    out_t[:] = tm[:]
+    out_i[:] = jnp.full((SUBLANES, LANES), -1, dtype=jnp.int32)
+    out_u[:] = jnp.zeros((SUBLANES, LANES), dtype=jnp.float32)
+    out_v[:] = jnp.zeros((SUBLANES, LANES), dtype=jnp.float32)
+
+    def row(a, g):
+        return jnp.broadcast_to(a[g:g + 1, :], (SUBLANES, LANES))
+
+    def leaf_slot_mt(tile, masks_c):
+        """MT of one 8-tri leaf tile against the whole packet, accumulating
+        into the output refs.  tile: [8 tris, 16 attrs]; masks_c[g]: [1,128]
+        box-hit mask of this child for ray-group g."""
+        def col(k):
+            return jnp.broadcast_to(tile[:, k:k + 1], (SUBLANES, LANES))
+
+        v0x, v0y, v0z = col(0), col(1), col(2)
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+        tri_f = col(9)
+
+        for g in range(SUBLANES):
+            rox, roy, roz = row(o_x, g), row(o_y, g), row(o_z, g)
+            rdx, rdy, rdz = row(d_x, g), row(d_y, g), row(d_z, g)
+            rhit = jnp.broadcast_to(masks_c[g], (SUBLANES, LANES))
+            rbt_row = out_t[g:g + 1, :]
+            rbt = jnp.broadcast_to(rbt_row, (SUBLANES, LANES))
+
+            hx = rdy * e2z - rdz * e2y
+            hy = rdz * e2x - rdx * e2z
+            hz = rdx * e2y - rdy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a
+            sx = rox - v0x
+            sy = roy - v0y
+            sz = roz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (rdx * qx + rdy * qy + rdz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            ok = (
+                (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > DELTA) & (t < rbt) & rhit & (tri_f >= 0.0)
+            )
+            t = jnp.where(ok, t, INF)
+            tmin = jnp.min(t, axis=0, keepdims=True)       # [1, 128]
+            found = tmin < rbt_row
+            is_best = (t == jnp.broadcast_to(tmin, t.shape)) & ok
+            pick = lambda val: jnp.max(
+                jnp.where(is_best, val, -jnp.float32(INF)),
+                axis=0, keepdims=True
+            )
+            sel_i = pick(tri_f)
+            sel_u = pick(jnp.where(is_best, u, 0.0))
+            sel_v = pick(jnp.where(is_best, v, 0.0))
+            out_t[g:g + 1, :] = jnp.where(found, tmin, rbt_row)
+            out_i[g:g + 1, :] = jnp.where(
+                found, sel_i.astype(jnp.int32), out_i[g:g + 1, :])
+            out_u[g:g + 1, :] = jnp.where(found, sel_u, out_u[g:g + 1, :])
+            out_v[g:g + 1, :] = jnp.where(found, sel_v, out_v[g:g + 1, :])
+
+    stack[0] = 0
+
+    def cond(sp):
+        return sp > 0
+
+    def body(sp):
+        node = stack[sp - 1]
+        sp = sp - 1
+        bt = out_t[:]
+
+        # ---- fetch all 8 children's boxes: one [48, 128] roll ------------
+        grp = pl.multiple_of((node // LANES) * LANES, LANES)
+        wide = wideboxes[:, pl.ds(grp, LANES)]             # [48, 128]
+        colv = pltpu.roll(wide, shift=-(node % LANES), axis=1)[:, 0:1]
+
+        def field(k):                                      # [8, 1] -> bcast
+            return jnp.broadcast_to(colv[WIDE * k:WIDE * (k + 1)],
+                                    (SUBLANES, LANES))
+
+        bminx, bminy, bminz = field(0), field(1), field(2)
+        bmaxx, bmaxy, bmaxz = field(3), field(4), field(5)
+
+        # ---- slab test: [8 children x 128 rays] per ray-group ------------
+        masks = []                                         # per g: [8, 128]
+        tmin_red = None
+        for g in range(SUBLANES):
+            rivx, rivy, rivz = row(invx, g), row(invy, g), row(invz, g)
+            rox, roy, roz = row(o_x, g), row(o_y, g), row(o_z, g)
+            t0x = (bminx - rox) * rivx
+            t1x = (bmaxx - rox) * rivx
+            t0y = (bminy - roy) * rivy
+            t1y = (bmaxy - roy) * rivy
+            t0z = (bminz - roz) * rivz
+            t1z = (bmaxz - roz) * rivz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), row(bt, g)),
+            )
+            hit = (tmin <= tmax) & (row(active.astype(jnp.float32), g) > 0.0)
+            masks.append(hit)
+            tg = jnp.where(hit, tmin, INF)
+            red = jnp.min(tg, axis=1, keepdims=True)       # [8, 1]
+            tmin_red = red if tmin_red is None else jnp.minimum(tmin_red, red)
+
+        # per-child nearest entry distance -> 8 scalars (one sync window)
+        nears = [jnp.min(tmin_red[c:c + 1, :]) for c in range(WIDE)]
+
+        # ---- push hit inner children, nearest popped first ---------------
+        refs = [childs[node * WIDE + c] for c in range(WIDE)]
+        hit_c = [nears[c] < INF for c in range(WIDE)]
+        best_near = INF
+        best_ref = jnp.int32(-1)
+        for c in range(WIDE):
+            cand = hit_c[c] & (refs[c] >= 0)
+            better = cand & (nears[c] < best_near)
+            best_near = jnp.where(better, nears[c], best_near)
+            best_ref = jnp.where(better, refs[c], best_ref)
+        for c in range(WIDE):
+            push = hit_c[c] & (refs[c] >= 0) & (refs[c] != best_ref)
+
+            @pl.when(push)
+            def _(ref=refs[c], sp=sp):
+                stack[sp] = ref
+
+            sp = sp + push.astype(jnp.int32)
+
+        @pl.when(best_ref >= 0)
+        def _(sp=sp):
+            stack[sp] = best_ref
+
+        sp = sp + (best_ref >= 0).astype(jnp.int32)
+
+        # ---- leaf phase: one aligned block, per-slot MT under pl.when ----
+        lb = lblocks[node]
+        leaf_any = jnp.bool_(False)
+        for c in range(WIDE):
+            leaf_any = leaf_any | (hit_c[c] & (refs[c] < 0))
+
+        @pl.when((lb >= 0) & leaf_any)
+        def _():
+            base = pl.multiple_of(lb * LANES, LANES)
+            grpleaf = leaff[:, pl.ds(base, LANES)]         # [8, 128]
+            for c in range(WIDE):
+                @pl.when(hit_c[c] & (refs[c] < 0))
+                def _(c=c):
+                    tile = grpleaf[:, c * LEAF_COLS:(c + 1) * LEAF_COLS]
+                    leaf_slot_mt(tile, [m[c:c + 1, :] for m in masks])
+
+        return sp
+
+    jax.lax.while_loop(cond, body, jnp.int32(1))
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "interpret"))
+def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
+                     n_blocks: int, interpret: bool = False):
+    plane = lambda: pl.BlockSpec(
+        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    shape = (n_blocks * SUBLANES, LANES)
+    out_shape = [
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct(shape, jnp.int32),
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+    ]
+    return pl.pallas_call(
+        _kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # wideboxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # childs
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # lblocks
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # leaff
+        ] + [plane()] * 8,
+        out_specs=[plane()] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(wideboxes, childs, lblocks, leaff,
+      rays["ox"], rays["oy"], rays["oz"],
+      rays["dx"], rays["dy"], rays["dz"], rays["act"], rays["tm"])
+
+
+def intersect_wide(origin, direction, packed, active=None, sort=False,
+                   t_max=None, interpret=False):
+    """Closest hit via the BVH8 kernel; same contract as intersect_bvh."""
+    if sort and "lo" in packed:
+        key = _morton_key(origin, direction, packed["lo"], packed["hi"],
+                          active=active)
+        order = jnp.argsort(key)
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype)
+        )
+        i, t, u, v = intersect_wide(
+            origin[order], direction[order], packed,
+            active=None if active is None else active[order], sort=False,
+            t_max=None if t_max is None else t_max[order],
+            interpret=interpret,
+        )
+        return i[inv], t[inv], u[inv], v[inv]
+
+    n = origin.shape[0]
+    n_pad = max(BLOCK_RAYS, ((n + BLOCK_RAYS - 1) // BLOCK_RAYS) * BLOCK_RAYS)
+    n_blocks = n_pad // BLOCK_RAYS
+
+    def plane(x, fill):
+        flat = jnp.full((n_pad,), fill, dtype=jnp.float32).at[:n].set(x)
+        return flat.reshape(n_blocks * SUBLANES, LANES)
+
+    act = (jnp.ones((n,), jnp.float32) if active is None
+           else active.astype(jnp.float32))
+    tm = jnp.full((n,), INF) if t_max is None else t_max
+    rays = dict(
+        ox=plane(origin[:, 0], 0.0), oy=plane(origin[:, 1], 0.0),
+        oz=plane(origin[:, 2], 0.0),
+        dx=plane(direction[:, 0], 1.0), dy=plane(direction[:, 1], 0.0),
+        dz=plane(direction[:, 2], 0.0),
+        act=plane(act, 0.0), tm=plane(tm, 0.0),
+    )
+    t, i, u, v = _traverse_blocks(
+        packed["wideboxes"], packed["childs"], packed["lblocks"],
+        packed["leaff"], rays, n_blocks, interpret=interpret,
+    )
+    reshape = lambda a: a.reshape(n_pad)[:n]
+    i = reshape(i)
+    t = jnp.where(i >= 0, reshape(t), INF)   # capped misses -> inf
+    return i, t, reshape(u), reshape(v)
+
+
+def collapse_bvh8(bvh):
+    """Collapse the binary FlatBVH into 8-wide nodes.
+
+    Per wide node: start with the binary root's two children; repeatedly
+    expand the INNER candidate with the largest surface area until 8
+    children or none expandable (the standard BVH8 collapse).  Children
+    are binary node ids; inner ones become wide nodes recursively.
+
+    Returns (wide_children, n_wide): list of per-wide-node child lists in
+    wide-id order (DFS preorder); each child entry is a binary node id.
+    """
+    is_leaf = bvh.leaf_id >= 0
+    if is_leaf[0]:
+        raise ValueError("BVH8 collapse requires an inner root")
+    ext = bvh.node_maxes - bvh.node_mins
+    area = (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+            + ext[:, 0] * ext[:, 2])
+
+    def children_of(b):
+        return [b + 1, int(bvh.right_child[b])]
+
+    wide_children = []
+    todo = [0]                       # binary roots of wide nodes, DFS
+    wide_of = {}                     # binary root -> wide id
+    while todo:
+        root = todo.pop()
+        wide_id = len(wide_children)
+        wide_of[root] = wide_id
+        slots = children_of(root)
+        while len(slots) < WIDE:
+            # expand the largest-area inner child
+            cand, cand_a = -1, -1.0
+            for k, b in enumerate(slots):
+                if not is_leaf[b] and area[b] > cand_a:
+                    cand, cand_a = k, float(area[b])
+            if cand < 0:
+                break
+            b = slots.pop(cand)
+            slots.extend(children_of(b))
+        wide_children.append(slots)
+        # queue inner children (reversed so DFS preorder matches pop order)
+        for b in reversed(slots):
+            if not is_leaf[b]:
+                todo.append(b)
+    return wide_children, wide_of
+
+
+def pack_bvh8(bvh, soup, leaf=None):
+    """FlatBVH -> BVH8 layout (see module docstring for the shapes)."""
+    from ..bvh.build import leaf_tables
+
+    wide_children, wide_of = collapse_bvh8(bvh)
+    n_wide = len(wide_children)
+    is_leaf = bvh.leaf_id >= 0
+
+    n_pad = ((n_wide + LANES - 1) // LANES) * LANES
+    wideboxes = np.zeros((BOX_FIELDS * WIDE, n_pad), dtype=np.float32)
+    wideboxes[0 * WIDE:3 * WIDE] = BIG       # empty slots: min=+BIG
+    wideboxes[3 * WIDE:6 * WIDE] = -BIG      # empty slots: max=-BIG
+    childs = np.full((n_wide * WIDE,), -1, dtype=np.int32)
+    lblocks = np.full((n_wide,), -1, dtype=np.int32)
+
+    # leaf blocks: wide node w's leaf children sit at slot c of block
+    # lblocks[w]; empty slots carry inert (tri = -1) triangles
+    tables = leaf_tables(bvh, soup) if leaf is None else leaf
+    blocks = []                              # list of [8 slots] leaf ids
+    for w, slots in enumerate(wide_children):
+        has_leaf = any(is_leaf[b] for b in slots)
+        blk = [-1] * WIDE
+        for c, b in enumerate(slots):
+            for f in range(BOX_FIELDS):
+                src = bvh.node_mins if f < 3 else bvh.node_maxes
+                wideboxes[f * WIDE + c, w] = src[b][f % 3]
+            if is_leaf[b]:
+                blk[c] = int(bvh.leaf_id[b])
+            else:
+                childs[w * WIDE + c] = wide_of[b]
+        if has_leaf:
+            lblocks[w] = len(blocks)
+            blocks.append(blk)
+
+    n_blocks_leaf = max(len(blocks), 1)
+    leaff = np.zeros((SUBLANES, n_blocks_leaf * LANES), dtype=np.float32)
+    leaff[:, 9::LEAF_COLS] = -1.0            # default: inert slots
+    lv0, le1, le2 = tables["v0"], tables["e1"], tables["e2"]
+    ltri = tables["tri_index"].astype(np.float32)
+    for bi, blk in enumerate(blocks):
+        for c, lid in enumerate(blk):
+            if lid < 0:
+                continue
+            base = bi * LANES + c * LEAF_COLS
+            leaff[:, base + 0:base + 3] = lv0[lid]
+            leaff[:, base + 3:base + 6] = le1[lid]
+            leaff[:, base + 6:base + 9] = le2[lid]
+            leaff[:, base + 9] = ltri[lid]
+
+    return dict(
+        wideboxes=wideboxes,
+        childs=childs,
+        lblocks=lblocks,
+        leaff=leaff,
+        lo=bvh.node_mins[0].astype(np.float32),
+        hi=bvh.node_maxes[0].astype(np.float32),
+    )
+
+
+def smem_bytes(packed) -> int:
+    return int(packed["childs"].size + packed["lblocks"].size) * 4
+
+
+def vmem_bytes(packed) -> int:
+    return int(packed["wideboxes"].size + packed["leaff"].size) * 4

@@ -77,7 +77,11 @@ def _make_step_chunked(width: int, height: int, chunk_rows: int,
 class Renderer:
     def __init__(self, scene: Scene, seed: int = 0,
                  max_bounces: int = MAX_BOUNCES, mesh=None,
-                 chunk_rows: int = None):
+                 chunk_rows: int = None, aot_cache: str = None):
+        """``aot_cache``: optional directory for serialized compiled
+        executables — a previously seen (scene structure, image size)
+        configuration skips the multi-minute Mosaic compile entirely
+        (utils/aot.py; measured warm start ~5 s vs 121 s)."""
         self.scene = scene
         self.width = scene.pixel_width
         self.height = scene.pixel_height
@@ -101,6 +105,34 @@ class Renderer:
             self._step = _make_step_chunked(
                 self.width, self.height, chunk_rows, max_bounces, mesh
             )
+        if aot_cache:
+            self._aot_load(aot_cache)
+
+    def _aot_load(self, cache_dir: str):
+        """Swap the jitted step for a cached compiled executable."""
+        from .utils.aot import cached_compile
+
+        if jax.devices()[0].platform == "cpu":
+            # XLA:CPU AOT results are machine-feature-pinned and crash on
+            # mismatched hosts (measured); compile time is a TPU problem
+            # (remote Mosaic) anyway
+            self.aot_status = "skipped (cpu backend)"
+            return
+
+        salt = (f"step w={self.width} h={self.height} "
+                f"mb={self.max_bounces} chunk={self.chunk_rows} "
+                f"mesh={self.mesh}")
+        if self.chunk_rows is None:
+            example = (self.key, jnp.uint32(0), self.state, self.scene.data)
+        else:
+            example = (self.key, jnp.uint32(0), jnp.int32(0), self.state,
+                       self.scene.data)
+        try:
+            self._step, self.aot_status = cached_compile(
+                self._step, example, cache_dir, salt=salt
+            )
+        except Exception as e:  # never let caching break rendering
+            self.aot_status = f"disabled ({type(e).__name__}: {e})"
 
     @timed
     def run_sample(self):

@@ -251,13 +251,39 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
         # XLA gather walk remain as the fallback.
         from .ops import traverse_pallas2 as tp2
         from .ops import traverse_stream as tstream
+        from .ops import traverse_wide as twide
+
+        # CLIVE2_TRAVERSAL forces a path for A/B runs: wide|pallas2|stream.
+        # Default order: binary packet kernel (fastest measured on the
+        # mid-size eval scenes), then the BVH8 wide kernel (lower SMEM
+        # cost extends the ceiling), then the streaming kernel.
+        force = os.environ.get("CLIVE2_TRAVERSAL", "")
 
         if _on_tpu():
-            packed = tp2.pack_bvh2(bvh, world, leaf=leafs)
-            if (
-                tp2.smem_bytes(packed) <= PALLAS_SMEM_BUDGET
-                and tp2.vmem_bytes(packed) <= PALLAS_VMEM_BUDGET
-            ):
+            if force == "wide":
+                packed_w = twide.pack_bvh8(bvh, world, leaf=leafs)
+                data["wide"] = {k: dev(v) for k, v in packed_w.items()}
+                return data, bvh, cam_ids
+            packed = None
+            if force in ("", "pallas2"):
+                packed = tp2.pack_bvh2(bvh, world, leaf=leafs)
+                if (
+                    force != "pallas2"
+                    and (tp2.smem_bytes(packed) > PALLAS_SMEM_BUDGET
+                         or tp2.vmem_bytes(packed) > PALLAS_VMEM_BUDGET)
+                ):
+                    packed = None
+            if packed is None and force == "":
+                # scenes past the binary kernel's SMEM ceiling but inside
+                # the wide kernel's VMEM budget use BVH8 (~0.6 B/tri SMEM)
+                packed_w = twide.pack_bvh8(bvh, world, leaf=leafs)
+                if (
+                    twide.smem_bytes(packed_w) <= PALLAS_SMEM_BUDGET
+                    and twide.vmem_bytes(packed_w) <= PALLAS_VMEM_BUDGET
+                ):
+                    data["wide"] = {k: dev(v) for k, v in packed_w.items()}
+                    return data, bvh, cam_ids
+            if packed is not None:
                 data["pallas"] = {k: dev(v) for k, v in packed.items()}
             else:
                 # coarsen the fat-leaf cut until the top tree fits SMEM

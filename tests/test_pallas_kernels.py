@@ -143,6 +143,66 @@ class TestTraversePallas2:
         _assert_hits_equal(got, want, "pallas2 cornell")
 
 
+class TestTraverseWide:
+    """BVH8 wide-node kernel: ops/traverse_wide.py."""
+
+    def _packed(self, rng, t):
+        from clive2_tpu.ops import traverse_wide as tw
+
+        soup = _random_soup(rng, t)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tw.pack_bvh8(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        return soup, bvh, packed, ga
+
+    @pytest.mark.parametrize("t", [41, 700])
+    def test_matches_gather_walk(self, rng, t):
+        from clive2_tpu.ops import traverse_wide as tw
+
+        _, _, packed, ga = self._packed(rng, t)
+        o, d = _random_rays(rng, 1100)
+        got = tw.intersect_wide(o, d, packed, interpret=True)
+        want = intersect_bvh_packed(o, d, ga)
+        _assert_hits_equal(got, want, f"wide t={t}")
+
+    def test_active_mask_and_sort(self, rng):
+        from clive2_tpu.ops import traverse_wide as tw
+
+        _, _, packed, ga = self._packed(rng, 300)
+        o, d = _random_rays(rng, 900)
+        active = jnp.asarray(rng.uniform(size=900) < 0.6)
+        got = tw.intersect_wide(o, d, packed, active=active, sort=True,
+                                interpret=True)
+        want = intersect_bvh_packed(o, d, ga, active=active)
+        _assert_hits_equal(got, want, "wide sorted+masked")
+
+    def test_t_max_cap(self, rng):
+        from clive2_tpu.ops import traverse_wide as tw
+
+        _, _, packed, ga = self._packed(rng, 400)
+        o, d = _random_rays(rng, 800)
+        wi, wt, _, _ = intersect_bvh_packed(o, d, ga)
+        t_max = jnp.asarray(rng.uniform(2.0, 12.0, 800).astype(np.float32))
+        gi, gt, _, _ = tw.intersect_wide(o, d, packed, t_max=t_max,
+                                         interpret=True)
+        keep = (np.asarray(wi) >= 0) & (np.asarray(wt) < np.asarray(t_max))
+        np.testing.assert_array_equal(np.asarray(gi)[keep],
+                                      np.asarray(wi)[keep])
+        assert (np.asarray(gi)[~keep] == -1).all()
+        assert not np.isfinite(np.asarray(gt)[~keep]).any()
+
+    def test_leaf_blocks_cover_all_triangles(self, rng):
+        """Every triangle appears in exactly one leaf-block slot."""
+        soup, _, packed, _ = self._packed(rng, 555)
+        # column base+9 holds, per sublane (tri slot), that slot's tri id
+        tri = np.asarray(packed["leaff"])[:, 9::16].ravel()
+        tri = tri[tri >= 0].astype(np.int64)
+        assert len(tri) == len(soup)
+        assert len(np.unique(tri)) == len(soup)
+
+
 class TestTraverseStream:
     """Streaming (HBM fat-leaf DMA) kernel: ops/traverse_stream.py."""
 
