@@ -51,6 +51,11 @@ def main(argv=None):
                         help="directory for serialized compiled executables "
                         "(skips the multi-minute Mosaic recompile for seen "
                         "configurations; pass '' to disable)")
+    parser.add_argument("--adaptive-after", type=int, default=0,
+                        help="after N uniform warmup samples, sample only "
+                        "the highest-variance pixels (0 = always uniform)")
+    parser.add_argument("--adaptive-fraction", type=float, default=0.25,
+                        help="fraction of pixels per adaptive sample")
     args = parser.parse_args(argv)
 
     from .. import constants
@@ -77,7 +82,10 @@ def main(argv=None):
     preview_path = os.path.join(args.output_dir, "preview.png")
     try:
         for i in range(renderer.samples, args.samples):
-            renderer.run_sample()
+            if args.adaptive_after and i >= args.adaptive_after:
+                renderer.run_adaptive_sample(args.adaptive_fraction)
+            else:
+                renderer.run_sample()
             print(f"Sample {i}/{args.samples} completed")
             if args.preview_every and (i + 1) % args.preview_every == 0:
                 save_png(preview_path, renderer.image)

@@ -21,7 +21,11 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..constants import MAX_BOUNCES
-from ..ops.filters import filter_weights, finalize_samples
+from ..ops.filters import (
+    filter_weights,
+    finalize_samples,
+    finalize_samples_scatter,
+)
 from .connect import connect_paths
 from .trace import (
     generate_camera_rays,
@@ -132,6 +136,76 @@ def render_sample_jit(key, scene, width: int, height: int,
     return render_sample(key, scene, width, height, max_bounces)
 
 
+def render_sample_subset(key, scene, pixel_sel, width: int, height: int,
+                         max_bounces: int = MAX_BOUNCES):
+    """One BDPT sample for an ARBITRARY pixel subset (adaptive sampling —
+    the reference scaffolds per-pixel sample bins but drives them as
+    identity, renderer.py:92; this is the real implementation).
+
+    pixel_sel: [M] i32 flat pixel indices (may repeat).  Outputs are
+    full-size [H, W] images, zero away from the touched pixels except the
+    splat image (light subpaths land anywhere).  The wavefront width M is
+    the compile-time shape, so a fixed selection size reuses one program.
+    """
+    cam = scene["camera"]
+    k_cam, k_light, k_trace = jax.random.split(key, 3)
+
+    cam_rays, pixel_idx = generate_camera_rays(
+        k_cam, cam, width, height, pixel_sel=pixel_sel
+    )
+    m = pixel_idx.shape[0]
+    light_rays = generate_light_rays(k_light, scene["lights"], scene["mat"],
+                                     m)
+    sensor_pos = cam_rays["origin"]
+
+    merged = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), cam_rays, light_rays
+    )
+    fc = jnp.concatenate([jnp.ones((m,), bool), jnp.zeros((m,), bool)])
+    path = trace_subpaths(k_trace, merged, scene, from_camera=fc,
+                          max_bounces=max_bounces)
+    half = lambda tree, sl: jax.tree.map(lambda a: a[:, sl], tree)
+    cam_path = dict(
+        vertices=half(path["vertices"], slice(0, m)),
+        valid=path["valid"][:, :m],
+        length=path["length"][:m],
+        n_rays=path["n_rays"],
+    )
+    light_path = dict(
+        vertices=half(path["vertices"], slice(m, 2 * m)),
+        valid=path["valid"][:, m:],
+        length=path["length"][m:],
+        n_rays=jnp.int32(0),
+    )
+
+    uni_vals = unidirectional_image(cam_path)          # [M, 3]
+    uni = jnp.zeros((height * width, 3), jnp.float32).at[pixel_idx].add(
+        uni_vals, mode="drop"
+    ).reshape(height, width, 3)
+    uni_count = jnp.zeros((height * width,), jnp.float32).at[pixel_idx].add(
+        1.0, mode="drop"
+    ).reshape(height, width)
+
+    conn = connect_paths(cam_path, light_path, scene, width, height,
+                         max_bounces=max_bounces)
+
+    weights = filter_weights(sensor_pos, pixel_idx, cam, width, height)
+    image, wimage = finalize_samples_scatter(
+        conn["contribution"], weights, conn["contrib_weight_sum"],
+        pixel_idx, width, height,
+    )
+
+    total_image = image + conn["light_image"]
+    total_weight = wimage + conn["light_weight_image"]
+    return dict(
+        image=jnp.nan_to_num(total_image, posinf=0.0, neginf=0.0),
+        weight=total_weight,
+        unidirectional=jnp.nan_to_num(uni, posinf=0.0, neginf=0.0),
+        uni_count=uni_count,
+        n_rays=cam_path["n_rays"] + light_path["n_rays"] + conn["n_rays"],
+    )
+
+
 def make_sharded_render(mesh, width: int, height: int,
                         max_bounces: int = MAX_BOUNCES):
     """jit-compiled render step sharded over the mesh's "tiles" axis."""
@@ -161,4 +235,16 @@ def init_accumulators(width: int, height: int):
         summed_weight=jnp.zeros((height, width), dtype=jnp.float32),
         summed_unidirectional=jnp.zeros((height, width, 3), dtype=jnp.float32),
         n_samples=jnp.zeros((), dtype=jnp.int32),
+        # adaptive-sampling statistics: per-pixel sample counts and the
+        # running sum of squared per-sample luma estimates (variance guide)
+        summed_sq=jnp.zeros((height, width), dtype=jnp.float32),
+        pixel_count=jnp.zeros((height, width), dtype=jnp.float32),
     )
+
+
+def sample_luma_sq(sample):
+    """Squared luma of one sample's count-normalized pixel estimate (the
+    per-pixel variance accumulator's increment)."""
+    val = sample["image"] / jnp.maximum(sample["weight"], 1e-6)[..., None]
+    luma = jnp.mean(val, axis=-1)
+    return luma * luma

@@ -49,17 +49,23 @@ def _take(tree, idx):
 
 
 def generate_camera_rays(key, cam, width: int, height: int,
-                         row0=0, rows: int = None):
+                         row0=0, rows: int = None, pixel_sel=None):
     """One jittered primary ray per pixel (trace.metal:1020-1067).
 
     Rays start on the physical sensor plane and aim at the focal point.
     ``row0``/``rows`` restrict generation to an image stripe (chunked
-    rendering; row0 may be traced).  Returns (ray pytree [N], pixel_idx [N]).
+    rendering; row0 may be traced); ``pixel_sel`` ([M] i32 flat indices)
+    instead generates rays for an arbitrary pixel subset (adaptive
+    sampling).  Returns (ray pytree [N], pixel_idx [N]).
     """
-    rows = height if rows is None else rows
-    n = width * rows
-    pixel_idx = (jnp.asarray(row0, jnp.int32) * width
-                 + jnp.arange(n, dtype=jnp.int32))
+    if pixel_sel is not None:
+        n = pixel_sel.shape[0]
+        pixel_idx = pixel_sel.astype(jnp.int32)
+    else:
+        rows = height if rows is None else rows
+        n = width * rows
+        pixel_idx = (jnp.asarray(row0, jnp.int32) * width
+                     + jnp.arange(n, dtype=jnp.int32))
     off = jax.random.uniform(key, (n, 2), dtype=jnp.float32)
 
     px = (pixel_idx % width).astype(jnp.float32)

@@ -43,6 +43,19 @@ class MaterialTable:
     def to_pytree(self):
         return dataclasses.asdict(self)
 
+    def append(self, spec: dict) -> int:
+        """Append one material (schema as in :meth:`build`); returns its
+        slot index.  Used by scene.create_scene for per-file
+        ``material_def`` overrides."""
+        new = MaterialTable.build([spec])
+        idx = len(self)
+        self.color = np.concatenate([self.color, new.color])
+        self.emission = np.concatenate([self.emission, new.emission])
+        self.type = np.concatenate([self.type, new.type])
+        self.alpha = np.concatenate([self.alpha, new.alpha])
+        self.ior = np.concatenate([self.ior, new.ior])
+        return idx
+
     @classmethod
     def build(cls, specs) -> "MaterialTable":
         """specs: iterable of dicts with color/emission/type/alpha/ior."""

@@ -107,6 +107,40 @@ def finalize_samples(contribution, weights, contrib_weight_sum,
     return full_i[1:-1], full_w[1:-1]
 
 
+def finalize_samples_scatter(contribution, weights, contrib_weight_sum,
+                             pixel_idx, width: int, height: int):
+    """Scatter-based variant of :func:`finalize_samples` for samples over an
+    ARBITRARY pixel subset (adaptive sampling): each sample splats its nine
+    filter-weighted contributions with one flat per-channel scatter-add.
+
+    contribution [M, 3]; weights [M, 3, 3]; contrib_weight_sum [M];
+    pixel_idx [M] flat indices.  Returns (image [H, W, 3], weight [H, W]).
+    """
+    import jax
+
+    px = pixel_idx % width
+    py = pixel_idx // width
+    offs = jnp.arange(-1, 2)
+    nx = px[:, None, None] + offs[None, :, None]      # [M, 3, 1]
+    ny = py[:, None, None] + offs[None, None, :]      # [M, 1, 3]
+    ok = (nx >= 0) & (nx < width) & (ny >= 0) & (ny < height)
+    tgt = jnp.where(ok, ny * width + nx, width * height)   # OOB -> dropped
+    tgt = tgt.reshape(-1)                             # [M * 9]
+
+    vals = (weights[..., None] * contribution[:, None, None, :]).reshape(-1, 3)
+    wsum = (weights * contrib_weight_sum[:, None, None]).reshape(-1)
+
+    tgt, v0, v1, v2, wsum = jax.lax.optimization_barrier(
+        (tgt, vals[:, 0], vals[:, 1], vals[:, 2], wsum)
+    )
+    flat = lambda v: (
+        jnp.zeros((width * height,), jnp.float32).at[tgt].add(v, mode="drop")
+    )
+    image = jnp.stack([flat(v0), flat(v1), flat(v2)], axis=-1)
+    return (image.reshape(height, width, 3),
+            flat(wsum).reshape(height, width))
+
+
 def _shiftx(a, dx: int):
     """out[y, x] = a[y, x + dx], zero-padded at the x borders."""
     wd = a.shape[1]

@@ -199,7 +199,10 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
             nears.append((na, nb))
 
         # phase 3: pushes — deepest-popped entry's children first so the
-        # new top of stack is the top-popped node's nearest child
+        # new top of stack is the top-popped node's nearest child.
+        # BRANCH-FREE: stack slots at/above sp are dead (pops only read
+        # below sp), so both candidate slots are written unconditionally
+        # and only the pointer advance is predicated — no pl.when blocks.
         for j in range(QUAD - 1, -1, -1):
             ca, cb = info[j][0], info[j][1]
             na, nb = nears[j]
@@ -210,19 +213,10 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
             first = jnp.where(a_near, cb, ca)    # far pushed first
             second = jnp.where(a_near, ca, cb)   # near popped first
 
-            @pl.when(both)
-            def _(first=first, second=second, sp=sp):
-                stack[sp] = first
-                stack[sp + 1] = second
-
-            @pl.when(push_b & ~both)
-            def _(cb=cb, sp=sp):
-                stack[sp] = cb
-
-            @pl.when(push_a & ~both)
-            def _(ca=ca, sp=sp):
-                stack[sp] = ca
-
+            stack[sp] = jnp.where(
+                both, first, jnp.where(push_b, cb, ca)
+            )
+            stack[sp + 1] = second               # dead write unless `both`
             sp = sp + push_a.astype(jnp.int32) + push_b.astype(jnp.int32)
 
         # phase 4: leaf children — side-effecting, no carried vectors

@@ -17,7 +17,12 @@ import numpy as np
 
 from .camera import tone_map
 from .constants import MAX_BOUNCES, timed
-from .integrator.render import init_accumulators, render_sample
+from .integrator.render import (
+    init_accumulators,
+    render_sample,
+    render_sample_subset,
+    sample_luma_sq,
+)
 from .scene import Scene
 
 
@@ -42,6 +47,48 @@ def _make_step(width: int, height: int, max_bounces: int, mesh):
             summed_unidirectional=state["summed_unidirectional"]
             + sample["unidirectional"],
             n_samples=state["n_samples"] + 1,
+            summed_sq=state["summed_sq"] + sample_luma_sq(sample),
+            pixel_count=state["pixel_count"] + 1.0,
+        )
+
+    return _step
+
+
+@functools.lru_cache(maxsize=16)
+def _make_step_adaptive(width: int, height: int, n_select: int,
+                        max_bounces: int):
+    """Adaptive sample step: renders only the ``n_select`` highest-variance
+    pixels (reference scaffolds identity bins, renderer.py:92 — this is the
+    real thing).  Selection happens on-device from the accumulated
+    variance statistics; one compiled program per (shape, n_select)."""
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def _step(key, sample_idx, state, scene_data):
+        n = state["pixel_count"]
+        # display estimate is weight-normalized; use it where weights exist
+        disp = state["summed_image"].mean(axis=-1) / jnp.maximum(
+            state["summed_weight"], 1e-6
+        )
+        ex2 = state["summed_sq"] / jnp.maximum(n, 1.0)
+        var = jnp.maximum(ex2 - disp * disp, 0.0)
+        # variance OF THE MEAN, relativized (dark pixels matter less)
+        score = var / jnp.maximum(n, 1.0) / (disp * disp + 1e-4)
+        score = score.reshape(-1)
+        _, sel = jax.lax.top_k(score, n_select)
+        sel = sel.astype(jnp.int32)
+
+        sample = render_sample_subset(
+            jax.random.fold_in(key, sample_idx), scene_data, sel,
+            width, height, max_bounces,
+        )
+        return dict(
+            summed_image=state["summed_image"] + sample["image"],
+            summed_weight=state["summed_weight"] + sample["weight"],
+            summed_unidirectional=state["summed_unidirectional"]
+            + sample["unidirectional"],
+            n_samples=state["n_samples"] + 1,
+            summed_sq=state["summed_sq"] + sample_luma_sq(sample),
+            pixel_count=state["pixel_count"] + sample["uni_count"],
         )
 
     return _step
@@ -63,12 +110,19 @@ def _make_step_chunked(width: int, height: int, chunk_rows: int,
             row0=row0, rows=chunk_rows,
         )
         last = row0 >= height - chunk_rows
+        stripe_rows = (
+            (jnp.arange(height) >= row0) & (jnp.arange(height)
+                                            < row0 + chunk_rows)
+        ).astype(jnp.float32)[:, None]
         return dict(
             summed_image=state["summed_image"] + sample["image"],
             summed_weight=state["summed_weight"] + sample["weight"],
             summed_unidirectional=state["summed_unidirectional"]
             + sample["unidirectional"],
             n_samples=state["n_samples"] + last.astype(jnp.int32),
+            summed_sq=state["summed_sq"] + sample_luma_sq(sample),
+            pixel_count=state["pixel_count"]
+            + jnp.broadcast_to(stripe_rows, state["pixel_count"].shape),
         )
 
     return _stripe
@@ -149,6 +203,24 @@ class Renderer:
                                         self.state, self.scene.data)
         self.samples += 1
 
+    @timed
+    def run_adaptive_sample(self, fraction: float = 0.25):
+        """One BDPT sample for only the highest-variance ``fraction`` of
+        pixels (selected on-device from the accumulated per-pixel variance
+        statistics).  Run a few uniform warmup samples first so the
+        variance estimates exist.  Unbiased: the display normalization is
+        weight-based, and the unidirectional image divides by per-pixel
+        counts."""
+        if self.chunk_rows is not None:
+            raise ValueError("adaptive sampling + chunked rendering is "
+                             "not supported (use one or the other)")
+        n_select = max(1, int(self.width * self.height * fraction))
+        step = _make_step_adaptive(self.width, self.height, n_select,
+                                   self.max_bounces)
+        self.state = step(self.key, jnp.uint32(self.samples), self.state,
+                          self.scene.data)
+        self.samples += 1
+
     def block(self):
         jax.block_until_ready(self.state)
 
@@ -172,7 +244,8 @@ class Renderer:
     @property
     def raw_unidirectional(self) -> np.ndarray:
         img = np.asarray(self.state["summed_unidirectional"])
-        return np.nan_to_num(img / max(self.samples, 1), posinf=0, neginf=0)
+        n = np.maximum(np.asarray(self.state["pixel_count"]), 1.0)[..., None]
+        return np.nan_to_num(img / n, posinf=0, neginf=0)
 
     @property
     def unidirectional_image(self) -> np.ndarray:
@@ -194,17 +267,28 @@ class Renderer:
             summed_weight=np.asarray(self.state["summed_weight"]),
             summed_unidirectional=np.asarray(self.state["summed_unidirectional"]),
             n_samples=np.asarray(self.state["n_samples"]),
+            summed_sq=np.asarray(self.state["summed_sq"]),
+            pixel_count=np.asarray(self.state["pixel_count"]),
             samples=self.samples,
             key_data=jax.random.key_data(self.key),
         )
 
     def load_checkpoint(self, path: str):
         ckpt = np.load(path)
+        hw = (self.height, self.width)
+        get = lambda k: (jnp.asarray(ckpt[k]) if k in ckpt
+                         else jnp.zeros(hw, jnp.float32))
         self.state = dict(
             summed_image=jnp.asarray(ckpt["summed_image"]),
             summed_weight=jnp.asarray(ckpt["summed_weight"]),
             summed_unidirectional=jnp.asarray(ckpt["summed_unidirectional"]),
             n_samples=jnp.asarray(ckpt["n_samples"]),
+            summed_sq=get("summed_sq"),
+            # pre-adaptive checkpoints: every pixel had `samples` samples
+            pixel_count=(jnp.asarray(ckpt["pixel_count"])
+                         if "pixel_count" in ckpt
+                         else jnp.full(hw, float(ckpt["samples"]),
+                                       jnp.float32)),
         )
         self.samples = int(ckpt["samples"])
         self.key = jax.random.wrap_key_data(ckpt["key_data"])

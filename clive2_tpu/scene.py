@@ -332,13 +332,27 @@ def create_scene(
         phys_width=pixel_width / pixel_height,
         phys_height=1.0,
     )
+    materials = materials or default_materials()
+    if any("material_def" in s for s in file_specs or []):
+        # appending must not mutate a caller-owned table
+        materials = dataclasses.replace(
+            materials, **{k: v.copy() for k, v in
+                          materials.to_pytree().items()}
+        )
     soup = camera_geometry(camera) + box_geometry(**(box_kwargs or {}))
     if extra_geometry is not None:
         soup = soup + extra_geometry
     for spec in file_specs or []:
+        # per-file material override: a "material_def" dict (schema as in
+        # MaterialTable.build) appends a new slot and assigns it to this
+        # mesh — scenes are no longer limited to the reference's 8
+        # hard-coded materials (reference load.py:179-200)
+        mat_idx = spec.get("material", 0)
+        if "material_def" in spec:
+            mat_idx = materials.append(spec["material_def"])
         soup = soup + load_mesh_file(
             spec["file_path"],
-            material=spec.get("material", 0),
+            material=mat_idx,
             scale=spec.get("scale", 1.0),
             offset=spec.get("offset", ZERO_VECTOR),
         )
@@ -347,9 +361,7 @@ def create_scene(
         soup = soup_transform(soup)
 
     t0 = time.time()
-    data, bvh, cam_ids = _build_scene_pytree(
-        soup, materials or default_materials(), camera
-    )
+    data, bvh, cam_ids = _build_scene_pytree(soup, materials, camera)
     build_s = time.time() - t0
 
     scene = Scene(

@@ -79,3 +79,28 @@ def test_with_camera_bvh_scene(bvh_scene):
         np.asarray(fast.data["camtri"]["v0"]),
         np.asarray(bvh_scene.data["camtri"]["v0"]),
     )
+
+def test_material_def_override():
+    """Per-file material_def appends a new slot beyond the reference's
+    8-slot table and assigns it to that mesh (ROADMAP feature #7)."""
+    import os
+
+    from clive2_tpu.materials import default_materials
+    from clive2_tpu.scene import RESOURCE_DIR, create_scene
+
+    spec = [{"file_path": os.path.join(RESOURCE_DIR, "teapot.obj"),
+             "material_def": {"color": (0.1, 0.6, 0.9), "type": 2,
+                              "alpha": 0.3, "ior": 1.8}}]
+    scene = create_scene(pixel_width=16, pixel_height=16, file_specs=spec)
+    mat = scene.data["mat"]
+    assert mat["color"].shape[0] == 9
+    np.testing.assert_allclose(np.asarray(mat["color"])[8],
+                               (0.1, 0.6, 0.9), rtol=1e-6)
+    assert int(np.asarray(mat["type"])[8]) == 2
+    assert len(default_materials()) == 8      # defaults untouched
+    tri_mat = np.asarray(scene.data["tri"]["material"])
+    assert (tri_mat == 8).sum() > 0
+    import jax
+
+    out = render_sample_jit(jax.random.key(0), scene.data, 16, 16)
+    assert np.isfinite(np.asarray(out["image"])).all()
