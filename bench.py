@@ -159,6 +159,29 @@ def bench_movie(width=1280, height=720, frames=3, spp=2):
 
 
 def main():
+    configs = os.environ.get(
+        "BENCH_CONFIGS",
+        "headline,cornell_256,teapots_512,dragon_512,sponza_1080p,"
+        "movie_720p",
+    ).split(",")
+
+    if len(configs) > 1 and not os.environ.get("BENCH_NO_FORK"):
+        # run each config in its own subprocess: a TPU fault in one config
+        # (device errors poison the client for the rest of the process)
+        # must not take down the remaining rows
+        _ensure_assets()
+        for cfg in configs:
+            env = dict(os.environ, BENCH_CONFIGS=cfg.strip())
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env)
+            if r.returncode != 0:
+                print(json.dumps({
+                    "metric": cfg.strip(), "value": None, "unit": "error",
+                    "vs_baseline": None,
+                    "error": f"bench subprocess exited {r.returncode}",
+                }), flush=True)
+        return
+
     from clive2_tpu import constants
 
     constants.TIMED_ENABLED = False
@@ -168,12 +191,6 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     samples = int(os.environ.get("BENCH_SAMPLES", 8))
     preset = os.environ.get("BENCH_SCENE", "empty")
-
-    configs = os.environ.get(
-        "BENCH_CONFIGS",
-        "headline,cornell_256,teapots_512,dragon_512,sponza_1080p,"
-        "movie_720p",
-    ).split(",")
 
     for cfg in configs:
         cfg = cfg.strip()
@@ -194,9 +211,15 @@ def main():
                 bench_render("dragon", 512, 512, 4,
                              "glass_dragon_512x512", baseline=4.1)
             elif cfg == "sponza_1080p":
-                bench_render("sponza", 1920, 1080, 2,
+                # 54-row stripes: each stripe is one short device program.
+                # The axon TPU worker dies when a single program (or launch)
+                # runs for tens of seconds — 270-row stripes at this scene
+                # size ran ~40 s/program and crashed the worker (see
+                # traverse_stream.MAX_BLOCKS_PER_CALL); 54-row stripes
+                # measured green end-to-end at 1080p.
+                bench_render("sponza", 1920, 1080, 1,
                              "sponza_1.3Mtris_1920x1080", baseline=None,
-                             chunk_rows=270)
+                             chunk_rows=54)
             elif cfg == "movie_720p":
                 bench_movie()
         except Exception as e:  # one config failing must not kill the rest

@@ -41,6 +41,13 @@ MAX_LEAF = 8
 LEAF_COLS = 16  # v0(3) e1(3) e2(3) tri(1) pad(6)
 INF = float("inf")
 
+import os
+
+# max packets per pallas_call: one kernel launch must stay well under the
+# TPU per-launch watchdog (see traverse_stream.MAX_BLOCKS_PER_CALL for the
+# measured failure).  2048 packets = 2M rays ~ a few hundred ms here.
+MAX_BLOCKS_PER_CALL = int(os.environ.get("CLIVE2_PALLAS_MAX_BLOCKS", 2048))
+
 
 def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
             out_t, out_i, out_u, out_v, stack):
@@ -350,6 +357,13 @@ def intersect_pallas2(origin, direction, packed, active=None, sort=False,
     n = origin.shape[0]
     n_pad = max(BLOCK_RAYS, ((n + BLOCK_RAYS - 1) // BLOCK_RAYS) * BLOCK_RAYS)
     n_blocks = n_pad // BLOCK_RAYS
+    cap = MAX_BLOCKS_PER_CALL
+    n_super = 1
+    if n_blocks > cap:
+        # bounded launches (watchdog): pad to a cap multiple, map sub-calls
+        n_super = (n_blocks + cap - 1) // cap
+        n_blocks = n_super * cap
+        n_pad = n_blocks * BLOCK_RAYS
 
     def plane(x, fill):
         flat = jnp.full((n_pad,), fill, dtype=jnp.float32).at[:n].set(x)
@@ -364,9 +378,21 @@ def intersect_pallas2(origin, direction, packed, active=None, sort=False,
         dz=plane(direction[:, 2], 0.0),
         act=plane(act, 0.0), tm=plane(tm, 0.0),
     )
-    t, i, u, v = _traverse_blocks(
-        packed["nodebox"], packed["childs"], packed["leaff"], rays, n_blocks
-    )
+    if n_super > 1:
+        stacked = {k: v.reshape(n_super, cap * SUBLANES, LANES)
+                   for k, v in rays.items()}
+        outs = jax.lax.map(
+            lambda r: _traverse_blocks(
+                packed["nodebox"], packed["childs"], packed["leaff"], r, cap
+            ),
+            stacked,
+        )
+        t, i, u, v = (o.reshape(n_blocks * SUBLANES, LANES) for o in outs)
+    else:
+        t, i, u, v = _traverse_blocks(
+            packed["nodebox"], packed["childs"], packed["leaff"], rays,
+            n_blocks
+        )
     reshape = lambda a: a.reshape(n_pad)[:n]
     i = reshape(i)
     t = jnp.where(i >= 0, reshape(t), INF)   # capped misses -> inf

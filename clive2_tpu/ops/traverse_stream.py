@@ -50,6 +50,14 @@ LANES = 128
 # kernel); the sweep knob exists for measurement.
 RAY_ROWS = int(os.environ.get("CLIVE2_STREAM_ROWS", 16))
 BLOCK_RAYS = RAY_ROWS * LANES
+# max packets per pallas_call: ONE kernel execution must stay well under
+# the TPU's per-launch watchdog.  An 18.7M-ray mega-cast (~9000 packets)
+# over the 1.3M-tri sponza ran for tens of seconds inside a single launch
+# and died with "UNAVAILABLE: TPU device error" — the identical rays pass
+# when split into bounded launches (measured: every 1M-ray slice of the
+# failing dispatch is individually green).  Oversized dispatches lax.map
+# over sub-dispatches of this many packets; launch overhead is ~ms.
+MAX_BLOCKS_PER_CALL = int(os.environ.get("CLIVE2_STREAM_MAX_BLOCKS", 512))
 STACK_DEPTH = 192
 SUBTILES = 16                          # sub-leaves per fat leaf
 SUB_SLOTS = 8                          # triangles per sub-leaf
@@ -372,6 +380,14 @@ def intersect_stream(origin, direction, packed, active=None, sort=False,
     n = origin.shape[0]
     n_pad = max(BLOCK_RAYS, ((n + BLOCK_RAYS - 1) // BLOCK_RAYS) * BLOCK_RAYS)
     n_blocks = n_pad // BLOCK_RAYS
+    cap = MAX_BLOCKS_PER_CALL
+    n_super = 1
+    if n_blocks > cap:
+        # bounded launches: pad the block count to a multiple of the cap
+        # (dead rays, act = 0) and lax.map one sub-dispatch per super-chunk
+        n_super = (n_blocks + cap - 1) // cap
+        n_blocks = n_super * cap
+        n_pad = n_blocks * BLOCK_RAYS
 
     def plane(x, fill):
         flat = jnp.full((n_pad,), fill, dtype=jnp.float32).at[:n].set(x)
@@ -387,10 +403,22 @@ def intersect_stream(origin, direction, packed, active=None, sort=False,
         dz=plane(direction[:, 2], 0.0),
         act=plane(act, 0.0), tm=plane(tm, 0.0),
     )
-    t, i, u, v = _traverse_blocks(
-        packed["nodebox"], packed["childs"], packed["leafblocks"], rays,
-        n_blocks, interpret=interpret,
-    )
+    if n_super > 1:
+        stacked = {k: v.reshape(n_super, cap * RAY_ROWS, LANES)
+                   for k, v in rays.items()}
+        outs = jax.lax.map(
+            lambda r: _traverse_blocks(
+                packed["nodebox"], packed["childs"], packed["leafblocks"],
+                r, cap, interpret=interpret,
+            ),
+            stacked,
+        )
+        t, i, u, v = (o.reshape(n_blocks * RAY_ROWS, LANES) for o in outs)
+    else:
+        t, i, u, v = _traverse_blocks(
+            packed["nodebox"], packed["childs"], packed["leafblocks"], rays,
+            n_blocks, interpret=interpret,
+        )
     reshape = lambda a: a.reshape(n_pad)[:n]
     i = reshape(i)
     t = jnp.where(i >= 0, reshape(t), INF)   # capped misses -> inf

@@ -270,3 +270,39 @@ class TestTraverseStream:
         assert not np.isfinite(np.asarray(gt)[~keep]).any()
         np.testing.assert_allclose(np.asarray(gt)[keep],
                                    np.asarray(wt)[keep], rtol=2e-5, atol=2e-5)
+
+
+class TestBoundedLaunches:
+    """The per-launch block cap (MAX_BLOCKS_PER_CALL): oversized dispatches
+    split into lax.map'd sub-launches so one kernel execution stays under
+    the TPU worker's per-launch time limit (measured crash: a ~9000-packet
+    sponza mega-cast in one launch).  The capped path must be bit-identical
+    to the single-launch path."""
+
+    def test_stream_capped_equals_uncapped(self, rng, monkeypatch):
+        soup = _random_soup(rng, 900)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tstream.pack_stream(bvh, soup).items()}
+        n = 3 * tstream.BLOCK_RAYS + 7          # 3+ blocks, ragged tail
+        o, d = _random_rays(rng, n)
+        active = jnp.asarray(rng.uniform(size=n) < 0.7)
+        want = tstream.intersect_stream(o, d, packed, active=active,
+                                        sort=True, interpret=True)
+        monkeypatch.setattr(tstream, "MAX_BLOCKS_PER_CALL", 2)
+        got = tstream.intersect_stream(o, d, packed, active=active,
+                                       sort=True, interpret=True)
+        _assert_hits_equal(got, want, "stream capped")
+
+    def test_pallas2_capped_equals_uncapped(self, rng, monkeypatch):
+        soup = _random_soup(rng, 900)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tp2.pack_bvh2(bvh, soup).items()}
+        n = 5 * tp2.BLOCK_RAYS + 13
+        o, d = _random_rays(rng, n)
+        with pltpu.force_tpu_interpret_mode():
+            want = tp2.intersect_pallas2(o, d, packed, sort=True)
+            monkeypatch.setattr(tp2, "MAX_BLOCKS_PER_CALL", 2)
+            got = tp2.intersect_pallas2(o, d, packed, sort=True)
+        _assert_hits_equal(got, want, "pallas2 capped")
