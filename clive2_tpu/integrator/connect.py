@@ -41,6 +41,15 @@ from ..ops.sampling import PI, dot, normalize
 # (constants.py:REFERENCE_MIS documents the differences).
 from ..constants import REFERENCE_MIS
 
+import os
+
+# CLIVE2_ANY_HIT=0 forces closest-hit connection casts (A/B knob).  The
+# default lets the packet kernels terminate occluded visibility casts at
+# the first occluder — a wash on open scenes (the packet union is run by
+# the unoccluded rays, which must walk to the cap either way) but a win
+# inside heavily-occluded geometry.
+ANY_HIT_CASTS = os.environ.get("CLIVE2_ANY_HIT", "1") != "0"
+
 
 def _take_d(tree, d):
     """Index vertex d (possibly traced) out of [D, N, ...] path arrays."""
@@ -144,13 +153,25 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
     den = dot(proj_dir, cam_dir)
     num = dot(cam["center"][None, None, :] - lv_o, cam_dir)
     d_t1 = jnp.where(den < -1e-12, num / den, jnp.inf)
-    t_max = jnp.where(is_t1, d_t1, d_gen) * 1.001 + 1e-4
+    if REFERENCE_MIS or not ANY_HIT_CASTS:
+        # reference closest-hit visibility (hit must BE the target): cap
+        # just beyond the target so it registers
+        t_max = jnp.where(is_t1, d_t1, d_gen) * 1.001 + 1e-4
+        any_hit = False
+    else:
+        # robust visibility only asks "is any hit strictly inside the
+        # segment?" — cap strictly BELOW the target so every recordable
+        # hit is a true occluder, and let the kernels terminate on the
+        # first one (any_hit): shadowed connection packets stop at the
+        # first occluder instead of refining to the closest
+        t_max = jnp.where(is_t1, d_t1, d_gen) * (1.0 - 1e-3)
+        any_hit = True
 
     p_cnt = len(pairs)
     flat = lambda a: a.reshape((p_cnt * n,) + a.shape[2:])
     hit_i, hit_t, _, _ = intersect_scene(
         flat(lv_o), flat(direction), scene, active=flat(active), sort=True,
-        t_max=flat(t_max),
+        t_max=flat(t_max), any_hit=any_hit,
     )
     cast_tri = hit_i.reshape(p_cnt, n)
     cast_t = hit_t.reshape(p_cnt, n)

@@ -138,7 +138,7 @@ def intersect_brute_chunked(origin, direction, brute, active=None,
 
 
 def intersect_scene(origin, direction, scene, active=None, sort=False,
-                    t_max=None):
+                    t_max=None, any_hit=False):
     """Static dispatch over the scene's traversal representation.
 
     The scene pytree's *structure* selects the implementation (structure is
@@ -147,6 +147,12 @@ def intersect_scene(origin, direction, scene, active=None, sort=False,
     BVH-path scenes intersect the sensor-plane triangles separately
     (``camtri``) and merge the closest hit — the sensor stays out of the
     BVH so camera moves never rebuild it (scene.py:Scene.with_camera).
+
+    ``any_hit`` licenses first-hit termination in the packet kernels for
+    visibility casts whose ``t_max`` already excludes the target (the hit
+    reported is then SOME hit under the cap, not necessarily the closest);
+    exhaustive paths (brute, gather walk) ignore it — their result is a
+    valid any-hit answer too.
     """
     if "brute_pallas" in scene:
         from .brute_pallas import intersect_brute_pallas
@@ -161,17 +167,20 @@ def intersect_scene(origin, direction, scene, active=None, sort=False,
         from .traverse_wide import intersect_wide
 
         hit = intersect_wide(origin, direction, scene["wide"],
-                             active=active, sort=sort, t_max=t_max)
+                             active=active, sort=sort, t_max=t_max,
+                             any_hit=any_hit)
     elif "pallas" in scene:
         from .traverse_pallas2 import intersect_pallas2
 
         hit = intersect_pallas2(origin, direction, scene["pallas"],
-                                active=active, sort=sort, t_max=t_max)
+                                active=active, sort=sort, t_max=t_max,
+                                any_hit=any_hit)
     elif "stream" in scene:
         from .traverse_stream import intersect_stream
 
         hit = intersect_stream(origin, direction, scene["stream"],
-                               active=active, sort=sort, t_max=t_max)
+                               active=active, sort=sort, t_max=t_max,
+                               any_hit=any_hit)
     elif "node_packed" in scene["bvh"]:
         hit = intersect_bvh_packed(origin, direction, scene["bvh"],
                                    active=active, t_max=t_max)

@@ -33,15 +33,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import DELTA
 
+import os
+
 SUBLANES = 8
 LANES = 128
-BLOCK_RAYS = SUBLANES * LANES  # 1024
+# ray rows per packet (packet = RAY_ROWS * 128 rays).  The while-loop
+# iteration cost is dominated by the serial scalar/reduce latency chain,
+# NOT vector throughput — so taller packets amortize that fixed latency
+# over more rays as long as the union divergence stays acceptable.
+RAY_ROWS = int(os.environ.get("CLIVE2_PACKET_ROWS", 8))
+BLOCK_RAYS = RAY_ROWS * LANES
 STACK_DEPTH = 384  # quad-pop pushes up to 8 entries per iteration
 MAX_LEAF = 8
 LEAF_COLS = 16  # v0(3) e1(3) e2(3) tri(1) pad(6)
 INF = float("inf")
 
-import os
+# stack entries popped per while-loop iteration (batched latency chains)
+QUAD = int(os.environ.get("CLIVE2_QUAD_POP", 4))
 
 # max packets per pallas_call: one kernel launch must stay well under the
 # TPU per-launch watchdog (see traverse_stream.MAX_BLOCKS_PER_CALL for the
@@ -49,7 +57,17 @@ import os
 MAX_BLOCKS_PER_CALL = int(os.environ.get("CLIVE2_PALLAS_MAX_BLOCKS", 2048))
 
 
-def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
+def _make_kernel(any_hit: bool):
+    """Kernel factory.  ``any_hit`` compiles the shadow-ray variant: rays
+    that have recorded ANY hit drop out of the box-test union, so packets
+    over occluded connection segments terminate at the first occluder
+    instead of refining to the closest one (the caller must cap ``t_max``
+    strictly below the target so every recordable hit is a true occluder;
+    see integrator/connect.py stage A)."""
+    return functools.partial(_kernel, any_hit)
+
+
+def _kernel(any_hit, nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
             out_t, out_i, out_u, out_v, stack):
     tiny = jnp.float32(1e-30)
 
@@ -62,7 +80,7 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     active = act[:] > 0.0
 
-    def box_test(node, base, bt):
+    def box_test(node, base, bt, alive):
         """Returns (hit mask, per-ray entry distance; +inf where missed)."""
         off = node * 12 + base
         t0x = (nodebox[off + 0] - o_x) * invx
@@ -79,7 +97,7 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.minimum(jnp.maximum(t0z, t1z), bt),
         )
-        hit = (tmin <= tmax) & active
+        hit = (tmin <= tmax) & alive
         return hit, jnp.where(hit, tmin, INF)
 
     def leaf_tests(lid, box_hit):
@@ -110,7 +128,7 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
         # all 8 ray-groups run unconditionally: a per-group lax.cond skip
         # was measured neutral-to-negative (the scalar branch costs as
         # much as the skipped vector MT) and it blocks instruction overlap
-        for g in range(SUBLANES):
+        for g in range(RAY_ROWS):
             row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
                                              (SUBLANES, LANES))
             rox, roy, roz = row(o_x), row(o_y), row(o_z)
@@ -160,9 +178,9 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
     # seeds it with the segment length, pruning every subtree beyond the
     # target before the walk begins
     out_t[:] = tm[:]
-    out_i[:] = jnp.full((SUBLANES, LANES), -1, dtype=jnp.int32)
-    out_u[:] = jnp.zeros((SUBLANES, LANES), dtype=jnp.float32)
-    out_v[:] = jnp.zeros((SUBLANES, LANES), dtype=jnp.float32)
+    out_i[:] = jnp.full((RAY_ROWS, LANES), -1, dtype=jnp.int32)
+    out_u[:] = jnp.zeros((RAY_ROWS, LANES), dtype=jnp.float32)
+    out_v[:] = jnp.zeros((RAY_ROWS, LANES), dtype=jnp.float32)
 
     def cond(sp):
         return sp > 0
@@ -178,11 +196,11 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
     # leaf visits are zero-carry pl.when blocks (a vector-carrying
     # lax.cond pays register copies for all four [8, 128] carries on both
     # branches, every iteration).
-    QUAD = 4
-
     def body(sp):
         take = jnp.minimum(sp, QUAD)
         bt = out_t[:]
+        # any-hit: rays that already recorded an occluder leave the union
+        alive = (active & (out_i[:] < 0)) if any_hit else active
 
         # phase 1: pop + box-test (independent chains, no sync points)
         info = []
@@ -190,8 +208,8 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
             node = stack[jnp.maximum(sp - 1 - j, 0)]
             ca = childs[node * 2]
             cb = childs[node * 2 + 1]
-            hit_a, tmin_a = box_test(node, 0, bt)
-            hit_b, tmin_b = box_test(node, 6, bt)
+            hit_a, tmin_a = box_test(node, 0, bt, alive)
+            hit_b, tmin_b = box_test(node, 6, bt, alive)
             info.append((ca, cb, hit_a, tmin_a, hit_b, tmin_b))
         sp = sp - take
 
@@ -244,12 +262,13 @@ def _kernel(nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
     jax.lax.while_loop(cond, body, jnp.int32(1))
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks",))
-def _traverse_blocks(nodebox, childs, leaff, rays, n_blocks: int):
+@functools.partial(jax.jit, static_argnames=("n_blocks", "any_hit"))
+def _traverse_blocks(nodebox, childs, leaff, rays, n_blocks: int,
+                     any_hit: bool = False):
     plane = lambda: pl.BlockSpec(
-        (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    shape = (n_blocks * SUBLANES, LANES)
+    shape = (n_blocks * RAY_ROWS, LANES)
     out_shape = [
         jax.ShapeDtypeStruct(shape, jnp.float32),
         jax.ShapeDtypeStruct(shape, jnp.int32),
@@ -257,7 +276,7 @@ def _traverse_blocks(nodebox, childs, leaff, rays, n_blocks: int):
         jax.ShapeDtypeStruct(shape, jnp.float32),
     ]
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(any_hit),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -332,13 +351,15 @@ def _morton_key(origin, direction, lo, hi, active=None):
 
 
 def intersect_pallas2(origin, direction, packed, active=None, sort=False,
-                      t_max=None):
+                      t_max=None, any_hit=False):
     """Closest hit via the v2 packet kernel; same contract as
     intersect_bvh.  ``sort`` reorders rays by octant+Morton for packet
     coherence and scatters results back.  ``t_max`` ([N] f32, optional)
     caps the search — hits beyond it are ignored and the traversal prunes
     everything farther (shadow-ray optimization); misses still report
-    t = inf."""
+    t = inf.  ``any_hit`` licenses first-hit termination: the reported hit
+    is SOME hit under t_max, not necessarily the closest (use for
+    visibility casts whose t_max already excludes the target)."""
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
                           active=active)
@@ -350,7 +371,7 @@ def intersect_pallas2(origin, direction, packed, active=None, sort=False,
         i, t, u, v = intersect_pallas2(
             origin[order], direction[order], packed,
             active=None if active is None else active[order], sort=False,
-            t_max=None if t_max is None else t_max[order],
+            t_max=None if t_max is None else t_max[order], any_hit=any_hit,
         )
         return i[inv], t[inv], u[inv], v[inv]
 
@@ -367,7 +388,7 @@ def intersect_pallas2(origin, direction, packed, active=None, sort=False,
 
     def plane(x, fill):
         flat = jnp.full((n_pad,), fill, dtype=jnp.float32).at[:n].set(x)
-        return flat.reshape(n_blocks * SUBLANES, LANES)
+        return flat.reshape(n_blocks * RAY_ROWS, LANES)
 
     act = jnp.ones((n,), jnp.float32) if active is None else active.astype(jnp.float32)
     tm = jnp.full((n,), INF) if t_max is None else t_max
@@ -379,19 +400,20 @@ def intersect_pallas2(origin, direction, packed, active=None, sort=False,
         act=plane(act, 0.0), tm=plane(tm, 0.0),
     )
     if n_super > 1:
-        stacked = {k: v.reshape(n_super, cap * SUBLANES, LANES)
+        stacked = {k: v.reshape(n_super, cap * RAY_ROWS, LANES)
                    for k, v in rays.items()}
         outs = jax.lax.map(
             lambda r: _traverse_blocks(
-                packed["nodebox"], packed["childs"], packed["leaff"], r, cap
+                packed["nodebox"], packed["childs"], packed["leaff"], r, cap,
+                any_hit=any_hit,
             ),
             stacked,
         )
-        t, i, u, v = (o.reshape(n_blocks * SUBLANES, LANES) for o in outs)
+        t, i, u, v = (o.reshape(n_blocks * RAY_ROWS, LANES) for o in outs)
     else:
         t, i, u, v = _traverse_blocks(
             packed["nodebox"], packed["childs"], packed["leaff"], rays,
-            n_blocks
+            n_blocks, any_hit=any_hit,
         )
     reshape = lambda a: a.reshape(n_pad)[:n]
     i = reshape(i)

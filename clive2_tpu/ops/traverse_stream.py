@@ -67,7 +67,13 @@ NBUF = 4                               # DMA ring depth (power of two)
 INF = float("inf")
 
 
-def _kernel(nodebox, childs, leafblocks,
+def _make_kernel(any_hit: bool):
+    """``any_hit`` compiles the shadow-ray variant (first-hit termination;
+    see traverse_pallas2._make_kernel for the contract)."""
+    return functools.partial(_kernel, any_hit)
+
+
+def _kernel(any_hit, nodebox, childs, leafblocks,
             ox, oy, oz, dx, dy, dz, act, tm,
             out_t, out_i, out_u, out_v,
             stack, blocks, sem):
@@ -91,7 +97,7 @@ def _kernel(nodebox, childs, leafblocks,
     out_u[:] = jnp.zeros((RAY_ROWS, LANES), dtype=jnp.float32)
     out_v[:] = jnp.zeros((RAY_ROWS, LANES), dtype=jnp.float32)
 
-    def box_test(node, base, bt):
+    def box_test(node, base, bt, alive):
         off = node * 12 + base
         t0x = (nodebox[off + 0] - o_x) * invx
         t1x = (nodebox[off + 3] - o_x) * invx
@@ -107,8 +113,11 @@ def _kernel(nodebox, childs, leafblocks,
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.minimum(jnp.maximum(t0z, t1z), bt),
         )
-        hit = (tmin <= tmax) & active
+        hit = (tmin <= tmax) & alive
         return hit, jnp.where(hit, tmin, INF)
+
+    def alive_now():
+        return (active & (out_i[:] < 0)) if any_hit else active
 
     # ---- drain: wait the oldest DMA, intersect its block -------------------
     def drain(qhead):
@@ -118,6 +127,7 @@ def _kernel(nodebox, childs, leafblocks,
         ).wait()
         block = blocks[slot]                               # [16, 128]
         bt0, bi0, bu0, bv0 = out_t[:], out_i[:], out_u[:], out_v[:]
+        alive_f = alive_now().astype(jnp.float32)
 
         def subtile(j, carry):
             bt, bi, bu, bv = carry
@@ -153,7 +163,7 @@ def _kernel(nodebox, childs, leafblocks,
                     jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                     jnp.minimum(jnp.maximum(t0z, t1z), row(bt)),
                 )
-                amask = row(active.astype(jnp.float32)) > 0.0
+                amask = row(alive_f) > 0.0
                 masks.append((tmin <= tmax) & amask)
 
             any_box = masks[0]
@@ -237,9 +247,10 @@ def _kernel(nodebox, childs, leafblocks,
             node = stack[sp - 1]
             sp = sp - 1
             bt = out_t[:]
+            alive = alive_now()
 
-            hit_a, tmin_a = box_test(node, 0, bt)
-            hit_b, tmin_b = box_test(node, 6, bt)
+            hit_a, tmin_a = box_test(node, 0, bt, alive)
+            hit_b, tmin_b = box_test(node, 6, bt, alive)
             # true near-first ordering from the actual slab entry distances
             # (see traverse_pallas2._kernel)
             near_a = jnp.min(tmin_a)
@@ -322,9 +333,10 @@ def _kernel(nodebox, childs, leafblocks,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "interpret", "any_hit"))
 def _traverse_blocks(nodebox, childs, leafblocks, rays, n_blocks: int,
-                     interpret: bool = False):
+                     interpret: bool = False, any_hit: bool = False):
     plane = lambda: pl.BlockSpec(
         (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -336,7 +348,7 @@ def _traverse_blocks(nodebox, childs, leafblocks, rays, n_blocks: int,
         jax.ShapeDtypeStruct(shape, jnp.float32),
     ]
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(any_hit),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -357,11 +369,12 @@ def _traverse_blocks(nodebox, childs, leafblocks, rays, n_blocks: int,
 
 
 def intersect_stream(origin, direction, packed, active=None, sort=False,
-                     t_max=None, interpret=False):
+                     t_max=None, interpret=False, any_hit=False):
     """Closest hit via the streaming kernel; same contract as
     intersect_bvh.  ``sort`` reorders rays by octant+Morton for packet
     coherence and scatters results back.  ``t_max`` caps the search
-    (shadow-ray pruning); misses still report t = inf."""
+    (shadow-ray pruning); misses still report t = inf.  ``any_hit``
+    licenses first-hit termination (see intersect_pallas2)."""
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
                           active=active)
@@ -373,7 +386,7 @@ def intersect_stream(origin, direction, packed, active=None, sort=False,
             origin[order], direction[order], packed,
             active=None if active is None else active[order], sort=False,
             t_max=None if t_max is None else t_max[order],
-            interpret=interpret,
+            interpret=interpret, any_hit=any_hit,
         )
         return i[inv], t[inv], u[inv], v[inv]
 
@@ -409,7 +422,7 @@ def intersect_stream(origin, direction, packed, active=None, sort=False,
         outs = jax.lax.map(
             lambda r: _traverse_blocks(
                 packed["nodebox"], packed["childs"], packed["leafblocks"],
-                r, cap, interpret=interpret,
+                r, cap, interpret=interpret, any_hit=any_hit,
             ),
             stacked,
         )
@@ -417,7 +430,7 @@ def intersect_stream(origin, direction, packed, active=None, sort=False,
     else:
         t, i, u, v = _traverse_blocks(
             packed["nodebox"], packed["childs"], packed["leafblocks"], rays,
-            n_blocks, interpret=interpret,
+            n_blocks, interpret=interpret, any_hit=any_hit,
         )
     reshape = lambda a: a.reshape(n_pad)[:n]
     i = reshape(i)

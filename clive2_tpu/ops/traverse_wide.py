@@ -57,7 +57,13 @@ import os
 MAX_BLOCKS_PER_CALL = int(os.environ.get("CLIVE2_PALLAS_MAX_BLOCKS", 2048))
 
 
-def _kernel(wideboxes, childs, lblocks, leaff,
+def _make_kernel(any_hit: bool):
+    """``any_hit`` compiles the shadow-ray variant (first-hit termination;
+    see traverse_pallas2._make_kernel for the contract)."""
+    return functools.partial(_kernel, any_hit)
+
+
+def _kernel(any_hit, wideboxes, childs, lblocks, leaff,
             ox, oy, oz, dx, dy, dz, act, tm,
             out_t, out_i, out_u, out_v, stack):
     tiny = jnp.float32(1e-30)
@@ -142,6 +148,9 @@ def _kernel(wideboxes, childs, lblocks, leaff,
         node = stack[sp - 1]
         sp = sp - 1
         bt = out_t[:]
+        # any-hit: rays that already recorded an occluder leave the union
+        alive = (active & (out_i[:] < 0)) if any_hit else active
+        alive_f = alive.astype(jnp.float32)
 
         # ---- fetch all 8 children's boxes: one [48, 128] roll ------------
         grp = pl.multiple_of((node // LANES) * LANES, LANES)
@@ -175,7 +184,7 @@ def _kernel(wideboxes, childs, lblocks, leaff,
                 jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
                 jnp.minimum(jnp.maximum(t0z, t1z), row(bt, g)),
             )
-            hit = (tmin <= tmax) & (row(active.astype(jnp.float32), g) > 0.0)
+            hit = (tmin <= tmax) & (row(alive_f, g) > 0.0)
             masks.append(hit)
             tg = jnp.where(hit, tmin, INF)
             red = jnp.min(tg, axis=1, keepdims=True)       # [8, 1]
@@ -230,9 +239,11 @@ def _kernel(wideboxes, childs, lblocks, leaff,
     jax.lax.while_loop(cond, body, jnp.int32(1))
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "interpret", "any_hit"))
 def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
-                     n_blocks: int, interpret: bool = False):
+                     n_blocks: int, interpret: bool = False,
+                     any_hit: bool = False):
     plane = lambda: pl.BlockSpec(
         (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -244,7 +255,7 @@ def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
         jax.ShapeDtypeStruct(shape, jnp.float32),
     ]
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(any_hit),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wideboxes
@@ -262,8 +273,9 @@ def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
 
 
 def intersect_wide(origin, direction, packed, active=None, sort=False,
-                   t_max=None, interpret=False):
-    """Closest hit via the BVH8 kernel; same contract as intersect_bvh."""
+                   t_max=None, interpret=False, any_hit=False):
+    """Closest hit via the BVH8 kernel; same contract as intersect_bvh.
+    ``any_hit`` licenses first-hit termination (see intersect_pallas2)."""
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
                           active=active)
@@ -275,7 +287,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
             origin[order], direction[order], packed,
             active=None if active is None else active[order], sort=False,
             t_max=None if t_max is None else t_max[order],
-            interpret=interpret,
+            interpret=interpret, any_hit=any_hit,
         )
         return i[inv], t[inv], u[inv], v[inv]
 
@@ -311,6 +323,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
             lambda r: _traverse_blocks(
                 packed["wideboxes"], packed["childs"], packed["lblocks"],
                 packed["leaff"], r, cap, interpret=interpret,
+                any_hit=any_hit,
             ),
             stacked,
         )
@@ -319,6 +332,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
         t, i, u, v = _traverse_blocks(
             packed["wideboxes"], packed["childs"], packed["lblocks"],
             packed["leaff"], rays, n_blocks, interpret=interpret,
+            any_hit=any_hit,
         )
     reshape = lambda a: a.reshape(n_pad)[:n]
     i = reshape(i)

@@ -306,3 +306,73 @@ class TestBoundedLaunches:
             monkeypatch.setattr(tp2, "MAX_BLOCKS_PER_CALL", 2)
             got = tp2.intersect_pallas2(o, d, packed, sort=True)
         _assert_hits_equal(got, want, "pallas2 capped")
+
+
+class TestAnyHit:
+    """any_hit=True (shadow-ray) variants: a lane reports a hit IFF a hit
+    exists under its t_max (blocked-set equality with the closest-hit
+    oracle), and every reported hit is a genuine one (t < t_max).  The
+    reported hit need not be the closest — that is the license that lets
+    the kernel stop at the first occluder."""
+
+    def _scene(self, rng, t=900):
+        soup = _random_soup(rng, t)
+        bvh = build_bvh(soup)
+        return soup, bvh
+
+    def _check(self, got, oracle, t_max):
+        gi, gt, _, _ = got
+        wi, wt, _, _ = oracle
+        blocked_want = (np.asarray(wi) >= 0) & (np.asarray(wt)
+                                                < np.asarray(t_max))
+        blocked_got = np.asarray(gi) >= 0
+        np.testing.assert_array_equal(blocked_got, blocked_want)
+        # reported hits are genuine: t strictly under the cap
+        assert (np.asarray(gt)[blocked_got]
+                < np.asarray(t_max)[blocked_got] + 1e-6).all()
+        assert not np.isfinite(np.asarray(gt)[~blocked_got]).any()
+
+    def test_pallas2_any_hit(self, rng):
+        soup, bvh = self._scene(rng)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tp2.pack_bvh2(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 1500)
+        t_max = jnp.asarray(rng.uniform(1.0, 14.0, 1500).astype(np.float32))
+        with pltpu.force_tpu_interpret_mode():
+            got = tp2.intersect_pallas2(o, d, packed, sort=True,
+                                        t_max=t_max, any_hit=True)
+        self._check(got, intersect_bvh_packed(o, d, ga), t_max)
+
+    def test_wide_any_hit(self, rng):
+        import clive2_tpu.ops.traverse_wide as tw
+
+        soup, bvh = self._scene(rng)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tw.pack_bvh8(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 1200)
+        t_max = jnp.asarray(rng.uniform(1.0, 14.0, 1200).astype(np.float32))
+        got = tw.intersect_wide(o, d, packed, sort=True, t_max=t_max,
+                                any_hit=True, interpret=True)
+        self._check(got, intersect_bvh_packed(o, d, ga), t_max)
+
+    def test_stream_any_hit(self, rng):
+        soup, bvh = self._scene(rng, t=1200)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tstream.pack_stream(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 1100)
+        active = jnp.asarray(rng.uniform(size=1100) < 0.8)
+        t_max = jnp.asarray(rng.uniform(1.0, 14.0, 1100).astype(np.float32))
+        gi, gt, _, _ = tstream.intersect_stream(
+            o, d, packed, active=active, sort=True, t_max=t_max,
+            any_hit=True, interpret=True)
+        wi, wt, _, _ = intersect_bvh_packed(o, d, ga, active=active)
+        blocked_want = ((np.asarray(wi) >= 0)
+                        & (np.asarray(wt) < np.asarray(t_max))
+                        & np.asarray(active))
+        np.testing.assert_array_equal(np.asarray(gi) >= 0, blocked_want)
