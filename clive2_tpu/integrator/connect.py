@@ -50,6 +50,17 @@ import os
 # inside heavily-occluded geometry.
 ANY_HIT_CASTS = os.environ.get("CLIVE2_ANY_HIT", "1") != "0"
 
+# CLIVE2_CONNECT_SORT ∈ {auto,0,1} controls the Morton sort on the
+# mega-batched connection cast; auto defers to intersect_scene's per-path
+# policy.  The sort+permutation glue around the cast (key, 36n-element
+# argsort, input gathers, output inverse-scatters) measured ~5x the
+# packet-kernel time itself on teapots-512; the mega-batch is
+# strategy-major over a pixel-ordered wavefront, so packets are already
+# spatially coherent within each strategy without it.
+from .trace import _sort_knob
+
+CONNECT_SORT = _sort_knob("CLIVE2_CONNECT_SORT")
+
 
 def _take_d(tree, d):
     """Index vertex d (possibly traced) out of [D, N, ...] path arrays."""
@@ -170,8 +181,8 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
     p_cnt = len(pairs)
     flat = lambda a: a.reshape((p_cnt * n,) + a.shape[2:])
     hit_i, hit_t, _, _ = intersect_scene(
-        flat(lv_o), flat(direction), scene, active=flat(active), sort=True,
-        t_max=flat(t_max), any_hit=any_hit,
+        flat(lv_o), flat(direction), scene, active=flat(active),
+        sort=CONNECT_SORT, t_max=flat(t_max), any_hit=any_hit,
     )
     cast_tri = hit_i.reshape(p_cnt, n)
     cast_t = hit_t.reshape(p_cnt, n)

@@ -43,6 +43,19 @@ from ..ops.sampling import (
     sample_triangle_uniform,
 )
 
+import os
+
+
+def _sort_knob(name):
+    """Env sort policy: unset/"auto" -> None (per-path default in
+    intersect_scene), "0" -> False, anything else -> True."""
+    v = os.environ.get(name, "auto")
+    return None if v in ("auto", "") else v != "0"
+
+
+# Morton-sort extension casts (see step() below); A/B knob
+TRACE_SORT = _sort_knob("CLIVE2_TRACE_SORT")
+
 
 def _take(tree, idx):
     return jax.tree.map(lambda a: gather_rows(a, idx), tree)
@@ -202,12 +215,13 @@ def trace_subpaths(key, rays, pytree_scene, from_camera,
     def step(carry, depth):
         cur, fwd_pending, active = carry
 
-        # Morton-sort the wavefront for packet coherence: extension rays
-        # are always mostly-active, so the sort pays for itself (the
-        # connect stage's mostly-masked casts skip it)
+        # CLIVE2_TRACE_SORT ∈ {auto,0,1} controls the Morton sort on
+        # extension casts; the auto default defers to intersect_scene's
+        # per-path policy (sort only for the streaming kernel — see its
+        # docstring for the teapots-512 A/B that set this).
         hit_i, hit_t, hit_u, hit_v = intersect_scene(
             cur["origin"], cur["direction"], pytree_scene, active=active,
-            sort=True,
+            sort=TRACE_SORT,
         )
         hit_ok = hit_i >= 0
         safe_i = jnp.maximum(hit_i, 0)

@@ -148,12 +148,22 @@ def intersect_scene(origin, direction, scene, active=None, sort=False,
     (``camtri``) and merge the closest hit — the sensor stays out of the
     BVH so camera moves never rebuild it (scene.py:Scene.with_camera).
 
+    ``sort`` Morton-sorts the wavefront for packet coherence; ``None``
+    picks a per-path default: True for the streaming kernel (each fat-leaf
+    visit is an HBM DMA — coherence directly cuts DMA volume), False for
+    the SMEM/VMEM-resident packet kernels, where the sort+permutation glue
+    (key, argsort, gathers, inverse scatters) measured ~5x the kernel time
+    itself on teapots-512 while the pixel-ordered wavefront is already
+    coherent (A/B: teapots 8.4 -> 19.9 Mrays/s with sorts off).
+
     ``any_hit`` licenses first-hit termination in the packet kernels for
     visibility casts whose ``t_max`` already excludes the target (the hit
     reported is then SOME hit under the cap, not necessarily the closest);
     exhaustive paths (brute, gather walk) ignore it — their result is a
     valid any-hit answer too.
     """
+    if sort is None:
+        sort = "stream" in scene
     if "brute_pallas" in scene:
         from .brute_pallas import intersect_brute_pallas
 
