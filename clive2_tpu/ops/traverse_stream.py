@@ -49,6 +49,7 @@ LANES = 128
 # and DMA issue over more rays (the scalar pipe, not the VPU, bounds this
 # kernel); the sweep knob exists for measurement.
 RAY_ROWS = int(os.environ.get("CLIVE2_STREAM_ROWS", 16))
+assert RAY_ROWS % SUBLANES == 0, "stream packets are [8,128]-tile multiples"
 BLOCK_RAYS = RAY_ROWS * LANES
 # max packets per pallas_call: ONE kernel execution must stay well under
 # the TPU's per-launch watchdog.  An 18.7M-ray mega-cast (~9000 packets)
@@ -63,7 +64,7 @@ SUBTILES = 16                          # sub-leaves per fat leaf
 SUB_SLOTS = 8                          # triangles per sub-leaf
 FAT_TRIS = SUBTILES * SUB_SLOTS        # 128
 BLOCK_ROWS = 16                        # attribute rows per fat-leaf block
-NBUF = 4                               # DMA ring depth (power of two)
+NBUF = int(os.environ.get("CLIVE2_STREAM_NBUF", 4))  # DMA ring (pow of 2)
 INF = float("inf")
 
 
@@ -138,37 +139,39 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
                 return jnp.broadcast_to(tile[:, k:k + 1], (SUBLANES, LANES))
 
             tri_f = col(9)
-            bmnx, bmny, bmnz = col(10), col(11), col(12)
-            bmxx, bmxy, bmxz = col(13), col(14), col(15)
             has_tri = jnp.max(tile[:, 9]) >= 0.0
 
-            # sub-leaf AABB prefilter: per ray-group slab test against this
-            # subtile's box (all 8 tri-rows carry the same box values);
-            # doubles as the MT activity mask
-            masks = []
-            for g in range(RAY_ROWS):
-                row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
-                                                 (SUBLANES, LANES))
-                t0x = (bmnx - row(o_x)) * row(invx)
-                t1x = (bmxx - row(o_x)) * row(invx)
-                t0y = (bmny - row(o_y)) * row(invy)
-                t1y = (bmxy - row(o_y)) * row(invy)
-                t0z = (bmnz - row(o_z)) * row(invz)
-                t1z = (bmxz - row(o_z)) * row(invz)
+            # sub-leaf AABB prefilter: a subtile is ONE SAH leaf, so its
+            # box is a single AABB (every slot column repeats it — col(k)
+            # is a sublane-uniform [8, 128] tile).  Slab-test the packet
+            # in [8, 128]-row halves against those uniform tiles: one op
+            # covers 8 ray rows, vs the previous per-ray-group loop that
+            # burned RAY_ROWS x [8, 128] ops on identical box values.
+            bmnx, bmny, bmnz = col(10), col(11), col(12)
+            bmxx, bmxy, bmxz = col(13), col(14), col(15)
+            halves = []
+            for h in range(RAY_ROWS // SUBLANES):
+                sl = slice(h * SUBLANES, (h + 1) * SUBLANES)
+                t0x = (bmnx - o_x[sl]) * invx[sl]
+                t1x = (bmxx - o_x[sl]) * invx[sl]
+                t0y = (bmny - o_y[sl]) * invy[sl]
+                t1y = (bmxy - o_y[sl]) * invy[sl]
+                t0z = (bmnz - o_z[sl]) * invz[sl]
+                t1z = (bmxz - o_z[sl]) * invz[sl]
                 tmin = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                     jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
                 )
                 tmax = jnp.minimum(
                     jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                    jnp.minimum(jnp.maximum(t0z, t1z), row(bt)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), bt[sl]),
                 )
-                amask = row(alive_f) > 0.0
-                masks.append((tmin <= tmax) & amask)
-
-            any_box = masks[0]
-            for g in range(1, RAY_ROWS):
-                any_box = any_box | masks[g]
+                halves.append((tmin <= tmax) & (alive_f[sl] > 0.0))
+            masks = [halves[g // SUBLANES][g % SUBLANES:g % SUBLANES + 1, :]
+                     for g in range(RAY_ROWS)]
+            any_box = halves[0]
+            for h in range(1, len(halves)):
+                any_box = any_box | halves[h]
             go = jnp.any(any_box) & has_tri
 
             def do_mt(carry):

@@ -90,10 +90,12 @@ def casts_only(cam_path, light_path, scene, width, height):
         num = dot(cam["center"][None, :] - lv["origin"],
                   cam["direction"][None, :])
         d_t1 = jnp.where(den < -1e-12, num / den, jnp.inf)
-        t_max = jnp.where(is_t1, d_t1, d_gen) * 1.001 + 1e-4
+        # mirror production stage A: any-hit casts capped below the
+        # target, per-path auto sort (see integrator/connect.py)
+        t_max = jnp.where(is_t1, d_t1, d_gen) * (1.0 - 1e-3)
         hit_i, hit_t, _, _ = intersect_scene(
-            lv["origin"], direction, scene, active=active, sort=True,
-            t_max=t_max)
+            lv["origin"], direction, scene, active=active, sort=None,
+            t_max=t_max, any_hit=True)
         return hit_i, hit_t, active
 
     return jax.lax.map(cast, pair_arr)
