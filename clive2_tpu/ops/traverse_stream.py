@@ -48,7 +48,9 @@ LANES = 128
 # Bigger packets amortize the scalar-core cost of stack pops, loop control,
 # and DMA issue over more rays (the scalar pipe, not the VPU, bounds this
 # kernel); the sweep knob exists for measurement.
-RAY_ROWS = int(os.environ.get("CLIVE2_STREAM_ROWS", 16))
+# 32 rows measured best on sponza-256 (0.237 @16 -> 0.260 @32 -> 0.266
+# @64 Mrays/s): each fat-leaf DMA amortizes over more rays
+RAY_ROWS = int(os.environ.get("CLIVE2_STREAM_ROWS", 32))
 assert RAY_ROWS % SUBLANES == 0, "stream packets are [8,128]-tile multiples"
 BLOCK_RAYS = RAY_ROWS * LANES
 # max packets per pallas_call: ONE kernel execution must stay well under
