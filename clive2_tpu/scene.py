@@ -287,9 +287,13 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
                 data["pallas"] = {k: dev(v) for k, v in packed.items()}
             else:
                 # coarsen the fat-leaf cut until the top tree fits SMEM
-                # (each doubling of blocks_per_leaf roughly halves it)
+                # (each doubling of blocks_per_leaf roughly halves it).
+                # CLIVE2_STREAM_BPL forces a minimum (A/B: fewer, larger
+                # DMAs vs finer top-tree culling).
+                bpl_min = int(os.environ.get("CLIVE2_STREAM_BPL", 1))
                 for k_blocks in (1, 2, 4, 8):
-                    if (tstream.smem_bytes_estimate(bvh, k_blocks)
+                    if (k_blocks >= bpl_min
+                            and tstream.smem_bytes_estimate(bvh, k_blocks)
                             <= PALLAS_SMEM_BUDGET):
                         packed_s = tstream.pack_stream(
                             bvh, world, leaf=leafs,
