@@ -128,27 +128,29 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
         pltpu.make_async_copy(
             leafblocks.at[0], blocks.at[slot], sem.at[slot]
         ).wait()
-        block = blocks[slot]                               # [16, 128]
-        bt0, bi0, bu0, bv0 = out_t[:], out_i[:], out_u[:], out_v[:]
+        block = blocks[slot]                               # [16, cols]
         alive_f = alive_now().astype(jnp.float32)
 
-        def subtile(j, carry):
-            bt, bi, bu, bv = carry
-            rolled = pltpu.roll(block, shift=-j * SUB_SLOTS, axis=1)
-            tile = rolled[:, 0:SUB_SLOTS].T                # [8, 16]
+        # STATIC unroll over subtiles: static slices replace the previous
+        # per-subtile dynamic roll, and best-hit state accumulates in the
+        # output refs under zero-carry pl.when blocks — the fori_loop +
+        # vector-carrying lax.cond it replaces copied four [RAY_ROWS, 128]
+        # carries through every subtile on both branches (the same lesson
+        # the binary kernel's leaf_tests learned; see traverse_pallas2).
+        for j in range(n_subtiles):
+            tile = block[:, j * SUB_SLOTS:(j + 1) * SUB_SLOTS].T  # [8, 16]
 
-            def col(k):
+            def col(k, tile=tile):
                 return jnp.broadcast_to(tile[:, k:k + 1], (SUBLANES, LANES))
 
-            tri_f = col(9)
             has_tri = jnp.max(tile[:, 9]) >= 0.0
 
             # sub-leaf AABB prefilter: a subtile is ONE SAH leaf, so its
             # box is a single AABB (every slot column repeats it — col(k)
             # is a sublane-uniform [8, 128] tile).  Slab-test the packet
             # in [8, 128]-row halves against those uniform tiles: one op
-            # covers 8 ray rows, vs the previous per-ray-group loop that
-            # burned RAY_ROWS x [8, 128] ops on identical box values.
+            # covers 8 ray rows.
+            bt_now = out_t[:]
             bmnx, bmny, bmnz = col(10), col(11), col(12)
             bmxx, bmxy, bmxz = col(13), col(14), col(15)
             halves = []
@@ -166,28 +168,29 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
                 )
                 tmax = jnp.minimum(
                     jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                    jnp.minimum(jnp.maximum(t0z, t1z), bt[sl]),
+                    jnp.minimum(jnp.maximum(t0z, t1z), bt_now[sl]),
                 )
                 halves.append((tmin <= tmax) & (alive_f[sl] > 0.0))
-            masks = [halves[g // SUBLANES][g % SUBLANES:g % SUBLANES + 1, :]
-                     for g in range(RAY_ROWS)]
             any_box = halves[0]
             for h in range(1, len(halves)):
                 any_box = any_box | halves[h]
             go = jnp.any(any_box) & has_tri
 
-            def do_mt(carry):
-                bt, bi, bu, bv = carry
+            @pl.when(go)
+            def _(col=col, halves=halves):
+                tri_f = col(9)
                 v0x, v0y, v0z = col(0), col(1), col(2)
                 e1x, e1y, e1z = col(3), col(4), col(5)
                 e2x, e2y, e2z = col(6), col(7), col(8)
-                rows_t, rows_i, rows_u, rows_v = [], [], [], []
                 for g in range(RAY_ROWS):
                     row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
                                                      (SUBLANES, LANES))
                     rox, roy, roz = row(o_x), row(o_y), row(o_z)
                     rdx, rdy, rdz = row(d_x), row(d_y), row(d_z)
-                    rbt = row(bt)
+                    mask_g = halves[g // SUBLANES][
+                        g % SUBLANES:g % SUBLANES + 1, :]
+                    rbt_row = out_t[g:g + 1, :]            # [1, 128]
+                    rbt = jnp.broadcast_to(rbt_row, (SUBLANES, LANES))
 
                     hx = rdy * e2z - rdz * e2y
                     hy = rdz * e2x - rdx * e2z
@@ -205,11 +208,11 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
                     t = f * (e2x * qx + e2y * qy + e2z * qz)
                     ok = (
                         (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-                        & (t > DELTA) & (t < rbt) & masks[g] & (tri_f >= 0.0)
+                        & (t > DELTA) & (t < rbt) & mask_g & (tri_f >= 0.0)
                     )
                     t = jnp.where(ok, t, INF)
                     tmin = jnp.min(t, axis=0, keepdims=True)       # [1, 128]
-                    found = tmin < rbt[0:1, :]
+                    found = tmin < rbt_row
                     is_best = (t == jnp.broadcast_to(tmin, t.shape)) & ok
                     pick = lambda val: jnp.max(
                         jnp.where(is_best, val, -jnp.float32(INF)),
@@ -218,27 +221,13 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
                     sel_i = pick(tri_f)
                     sel_u = pick(jnp.where(is_best, u, 0.0))
                     sel_v = pick(jnp.where(is_best, v, 0.0))
-                    rows_t.append(jnp.where(found, tmin, bt[g:g + 1, :]))
-                    rows_i.append(jnp.where(
-                        found, sel_i.astype(jnp.int32), bi[g:g + 1, :]))
-                    rows_u.append(jnp.where(found, sel_u, bu[g:g + 1, :]))
-                    rows_v.append(jnp.where(found, sel_v, bv[g:g + 1, :]))
-                return (
-                    jnp.concatenate(rows_t, axis=0),
-                    jnp.concatenate(rows_i, axis=0),
-                    jnp.concatenate(rows_u, axis=0),
-                    jnp.concatenate(rows_v, axis=0),
-                )
-
-            return jax.lax.cond(go, do_mt, lambda c: c, (bt, bi, bu, bv))
-
-        bt, bi, bu, bv = jax.lax.fori_loop(
-            0, n_subtiles, subtile, (bt0, bi0, bu0, bv0)
-        )
-        out_t[:] = bt
-        out_i[:] = bi
-        out_u[:] = bu
-        out_v[:] = bv
+                    out_t[g:g + 1, :] = jnp.where(found, tmin, rbt_row)
+                    out_i[g:g + 1, :] = jnp.where(
+                        found, sel_i.astype(jnp.int32), out_i[g:g + 1, :])
+                    out_u[g:g + 1, :] = jnp.where(found, sel_u,
+                                                  out_u[g:g + 1, :])
+                    out_v[g:g + 1, :] = jnp.where(found, sel_v,
+                                                  out_v[g:g + 1, :])
 
     # ---- node phase: pop SMEM nodes, DMA fat-leaf children -----------------
     def node_phase(carry):

@@ -128,6 +128,24 @@ def _make_step_chunked(width: int, height: int, chunk_rows: int,
     return _stripe
 
 
+def _auto_chunk_rows(scene):
+    """Default row striping for streaming-path scenes at large
+    resolutions: the axon TPU worker kills device programs that run for
+    tens of seconds, and a streaming-kernel (>100k-tri) full-frame sample
+    at 1080p-class sizes runs minutes (measured: a 270-row 1080p sponza
+    stripe crashed the worker; 54-row stripes are green).  Cap stripes so
+    one program handles <= ~128k pixels; explicit chunk_rows wins."""
+    w, h = scene.pixel_width, scene.pixel_height
+    if "stream" not in scene.data or w * h <= 131_072:
+        return None
+    max_rows = max(1, 131_072 // w)
+    # largest divisor of the height that fits (one compiled stripe shape)
+    for r in range(min(max_rows, h), 0, -1):
+        if h % r == 0:
+            return r
+    return 1
+
+
 class Renderer:
     def __init__(self, scene: Scene, seed: int = 0,
                  max_bounces: int = MAX_BOUNCES, mesh=None,
@@ -144,6 +162,8 @@ class Renderer:
         self.key = jax.random.key(seed)
         self.samples = 0
         self.state = init_accumulators(self.width, self.height)
+        if chunk_rows is None:
+            chunk_rows = _auto_chunk_rows(scene)
         if chunk_rows is not None and chunk_rows >= self.height:
             chunk_rows = None
         self.chunk_rows = chunk_rows

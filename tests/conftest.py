@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# interpret-mode streaming-kernel tests: 8-row packets (the production
+# default of 32 rows quadruples the statically-unrolled drain body and
+# interpret wall time; the layout/DMA/accumulator logic under test is
+# row-count-independent).  Must be set before clive2_tpu imports.
+os.environ.setdefault("CLIVE2_STREAM_ROWS", "8")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

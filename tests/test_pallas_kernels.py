@@ -206,7 +206,10 @@ class TestTraverseWide:
 class TestTraverseStream:
     """Streaming (HBM fat-leaf DMA) kernel: ops/traverse_stream.py."""
 
-    def _packed(self, rng, t=2500):
+    def _packed(self, rng, t=900):
+        # sizes trimmed: the statically-unrolled drain makes interpret
+        # mode trace/run ~10x slower per packet, and these oracles don't
+        # need big scenes to cover the layout/DMA/accumulator logic
         soup = _random_soup(rng, t)
         bvh = build_bvh(soup)
         packed = {k: jnp.asarray(v) for k, v in
@@ -217,15 +220,15 @@ class TestTraverseStream:
 
     def test_matches_gather_walk(self, rng):
         _, _, packed, ga = self._packed(rng)
-        o, d = _random_rays(rng, 1300)
+        o, d = _random_rays(rng, 500)
         got = tstream.intersect_stream(o, d, packed, interpret=True)
         want = intersect_bvh_packed(o, d, ga)
         _assert_hits_equal(got, want, "stream")
 
     def test_active_mask_and_sort(self, rng):
         _, _, packed, ga = self._packed(rng, t=600)
-        o, d = _random_rays(rng, 800)
-        active = jnp.asarray(rng.uniform(size=800) < 0.6)
+        o, d = _random_rays(rng, 400)
+        active = jnp.asarray(rng.uniform(size=400) < 0.6)
         got = tstream.intersect_stream(o, d, packed, active=active,
                                        sort=True, interpret=True)
         want = intersect_bvh_packed(o, d, ga, active=active)
@@ -242,13 +245,13 @@ class TestTraverseStream:
     def test_multiblock_fat_leaves(self, rng):
         """blocks_per_leaf=2 ([16, 256] DMA blocks) — the huge-scene
         configuration scene.py selects when the top tree would bust SMEM."""
-        soup = _random_soup(rng, 2500)
+        soup = _random_soup(rng, 1200)
         bvh = build_bvh(soup)
         packed = {k: jnp.asarray(v) for k, v in
                   tstream.pack_stream(bvh, soup, blocks_per_leaf=2).items()}
         ga = {k: jnp.asarray(v) for k, v in
               pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
-        o, d = _random_rays(rng, 1100)
+        o, d = _random_rays(rng, 500)
         got = tstream.intersect_stream(o, d, packed, sort=True,
                                        interpret=True)
         want = intersect_bvh_packed(o, d, ga)
@@ -258,9 +261,9 @@ class TestTraverseStream:
         """Capped traversal == uncapped traversal with hits beyond the cap
         discarded (shadow-ray semantics), misses reporting t = inf."""
         _, _, packed, ga = self._packed(rng, t=900)
-        o, d = _random_rays(rng, 800)
+        o, d = _random_rays(rng, 400)
         wi, wt, wu, wv = intersect_bvh_packed(o, d, ga)
-        t_max = jnp.asarray(rng.uniform(2.0, 12.0, 800).astype(np.float32))
+        t_max = jnp.asarray(rng.uniform(2.0, 12.0, 400).astype(np.float32))
         gi, gt, _, _ = tstream.intersect_stream(o, d, packed, t_max=t_max,
                                                 interpret=True)
         keep = (np.asarray(wi) >= 0) & (np.asarray(wt) < np.asarray(t_max))
@@ -284,7 +287,7 @@ class TestBoundedLaunches:
         bvh = build_bvh(soup)
         packed = {k: jnp.asarray(v) for k, v in
                   tstream.pack_stream(bvh, soup).items()}
-        n = 3 * tstream.BLOCK_RAYS + 7          # 3+ blocks, ragged tail
+        n = 2 * tstream.BLOCK_RAYS + 7          # 2+ blocks, ragged tail
         o, d = _random_rays(rng, n)
         active = jnp.asarray(rng.uniform(size=n) < 0.7)
         want = tstream.intersect_stream(o, d, packed, active=active,
@@ -360,14 +363,14 @@ class TestAnyHit:
         self._check(got, intersect_bvh_packed(o, d, ga), t_max)
 
     def test_stream_any_hit(self, rng):
-        soup, bvh = self._scene(rng, t=1200)
+        soup, bvh = self._scene(rng, t=900)
         packed = {k: jnp.asarray(v) for k, v in
                   tstream.pack_stream(bvh, soup).items()}
         ga = {k: jnp.asarray(v) for k, v in
               pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
-        o, d = _random_rays(rng, 1100)
-        active = jnp.asarray(rng.uniform(size=1100) < 0.8)
-        t_max = jnp.asarray(rng.uniform(1.0, 14.0, 1100).astype(np.float32))
+        o, d = _random_rays(rng, 400)
+        active = jnp.asarray(rng.uniform(size=400) < 0.8)
+        t_max = jnp.asarray(rng.uniform(1.0, 14.0, 400).astype(np.float32))
         gi, gt, _, _ = tstream.intersect_stream(
             o, d, packed, active=active, sort=True, t_max=t_max,
             any_hit=True, interpret=True)
