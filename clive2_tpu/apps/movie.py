@@ -71,11 +71,13 @@ def main(argv=None):
             scene = base_scene.with_camera(
                 orbit_camera(f, args.movie_frames, args.width, args.height)
             )
-        # aot only for the first frame: later frames reuse the in-process
-        # jit cache (same shapes), which is already warm
+        # aot for EVERY frame: cached_compile uses lower().compile(),
+        # which never populates the jit dispatch cache, so a first-frame-
+        # only cache would leave frame 2 paying the full Mosaic compile.
+        # Within the process, utils/aot.py's _inproc map makes repeat
+        # loads of the same cache file free.
         renderer = Renderer(scene, seed=args.seed + f,
-                            aot_cache=(args.aot_cache or None)
-                            if f == frames[0] else None)
+                            aot_cache=args.aot_cache or None)
         if getattr(renderer, "aot_status", None):
             print(f"aot cache: {renderer.aot_status}")
         for i in range(args.samples):

@@ -42,6 +42,8 @@ LANES = 128
 # NOT vector throughput — so taller packets amortize that fixed latency
 # over more rays as long as the union divergence stays acceptable.
 RAY_ROWS = int(os.environ.get("CLIVE2_PACKET_ROWS", 8))
+assert RAY_ROWS % 8 == 0, "CLIVE2_PACKET_ROWS must be a multiple of 8 " \
+    "(packets are [8,128]-tile multiples)"
 BLOCK_RAYS = RAY_ROWS * LANES
 STACK_DEPTH = 384  # quad-pop pushes up to 8 entries per iteration
 MAX_LEAF = 8
@@ -430,6 +432,26 @@ def pack_bvh2(bvh, soup, leaf=None):
     is_leaf = bvh.leaf_id >= 0
     if is_leaf[0]:
         raise ValueError("v2 packet kernel requires an inner root")
+
+    # SMEM stack safety: each quad-pop iteration pops <= QUAD entries and
+    # pushes <= 2 per pop, so peak occupancy is bounded by
+    # 2 * tree_depth + 2 * QUAD.  A pathologically deep SAH tree would
+    # otherwise silently write past the scratch stack inside the kernel.
+    inner_idx = np.nonzero(~is_leaf)[0]
+    parent = np.zeros(bvh.n_nodes, dtype=np.int64)
+    parent[inner_idx + 1] = inner_idx
+    parent[bvh.right_child[inner_idx]] = inner_idx
+    depth = np.zeros(bvh.n_nodes, dtype=np.int64)
+    for i in range(1, bvh.n_nodes):          # preorder: parent precedes child
+        depth[i] = depth[parent[i]] + 1
+    max_depth = int(depth.max(initial=0))
+    if 2 * max_depth + 2 * QUAD > STACK_DEPTH:
+        raise ValueError(
+            f"BVH depth {max_depth} exceeds the packet kernel's stack "
+            f"bound (2*depth + 2*QUAD = {2 * max_depth + 2 * QUAD} > "
+            f"{STACK_DEPTH}); rebuild with a shallower tree or raise "
+            f"STACK_DEPTH"
+        )
 
     inner = np.nonzero(~is_leaf)[0]
     inner_ord = np.full(bvh.n_nodes, -1, dtype=np.int64)

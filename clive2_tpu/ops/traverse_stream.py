@@ -67,6 +67,9 @@ SUB_SLOTS = 8                          # triangles per sub-leaf
 FAT_TRIS = SUBTILES * SUB_SLOTS        # 128
 BLOCK_ROWS = 16                        # attribute rows per fat-leaf block
 NBUF = int(os.environ.get("CLIVE2_STREAM_NBUF", 4))  # DMA ring (pow of 2)
+assert NBUF >= 2 and (NBUF & (NBUF - 1)) == 0, \
+    "CLIVE2_STREAM_NBUF must be a power of two >= 2 (ring slots are " \
+    "masked with qhead & (NBUF-1))"
 INF = float("inf")
 
 

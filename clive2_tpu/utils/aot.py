@@ -11,14 +11,18 @@ compilation entirely: measured load+first-call ~5 s for the same program
 The cache key fingerprints everything that shapes the executable: jax
 version, backend platform + device kind, the full (shape, dtype) tree of
 the example arguments (which encodes the scene pytree structure — e.g.
-which traversal path the scene selected), and a caller salt for function
-identity.  Any miss or failure falls back to a normal compile, and
-serialization failures are non-fatal (the compiled executable is used
-directly).
+which traversal path the scene selected), a caller salt for function
+identity, every CLIVE2_* environment knob (several change the traced
+program's semantics — estimator selection, any-hit policy, sort policy,
+packet geometry — without changing any argument shape), and a fingerprint
+of the package sources (code edits must not keep serving old binaries).
+Any miss or failure falls back to a normal compile, and serialization
+failures are non-fatal (the compiled executable is used directly).
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import pickle
@@ -26,7 +30,37 @@ import pickle
 import jax
 
 
-_SCHEMA = "aot-v1"
+_SCHEMA = "aot-v2"
+
+
+@functools.lru_cache(maxsize=1)
+def _source_fingerprint() -> str:
+    """Hash of every .py source in the clive2_tpu package (mtime-free:
+    content only, so reinstalls with identical code still hit)."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+        dirnames.sort()
+        for name in sorted(filenames):
+            if not name.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, name)
+            h.update(os.path.relpath(p, pkg_root).encode())
+            try:
+                with open(p, "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                pass
+    return h.hexdigest()[:16]
+
+
+def _env_fingerprint() -> str:
+    """All CLIVE2_* knobs, sorted.  Cheap and future-proof vs keeping a
+    hand-maintained list in sync with the ops modules."""
+    knobs = sorted(
+        (k, v) for k, v in os.environ.items() if k.startswith("CLIVE2_")
+    )
+    return repr(knobs)
 
 
 def _signature(example_args) -> str:
@@ -43,7 +77,8 @@ def cache_key(example_args, salt: str = "") -> str:
     dev = jax.devices()[0]
     h = hashlib.sha256()
     for part in (_SCHEMA, salt, jax.__version__, dev.platform,
-                 getattr(dev, "device_kind", ""), _signature(example_args)):
+                 getattr(dev, "device_kind", ""), _signature(example_args),
+                 _env_fingerprint(), _source_fingerprint()):
         h.update(str(part).encode())
     return h.hexdigest()[:20]
 
