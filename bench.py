@@ -3,22 +3,31 @@
 Prints one JSON line per config: {"metric", "value", "unit", "vs_baseline",
 "spp_per_s", "resolution", "samples"}.  The FIRST line is the headline
 metric (1080p Cornell Mrays/s vs the driver-set 100 Mrays/s/chip north
-star); the remaining lines cover BASELINE.json's eval configs:
+star); the remaining lines cover BASELINE.json's eval configs plus the
+mid-size scenes the round-2 review flagged as unbenchmarked:
 
-  cornell_256    Cornell-box diffuse, 256x256, 8 spp (config #1)
-  teapots_512    teapot OBJs with GGX glass/glossy, 512x512 (config #2)
-  dragon_512     glass dragon PLY, specular transmission (config #3)
+  cornell_256    Cornell-box diffuse, 256x256, 16 spp (config #1)
+  teapots_512    two exact Utah teapots, GGX glass, 512x512 (config #2)
+  dragon_512     glass dragon (47.7k tris), 512x512 (config #3)
+  medium_dragon  202k-tri glass dragon, 512x512
+  big_dragon     871k-tri glass dragon, 512x512
   sponza_1080p   ~1.3M-triangle scene at 1080p (config #4)
-  movie_720p     per-frame orbit animation steady-state s/frame (config #5)
+  movie_720p     per-frame orbit animation steady-state s/frame on the
+                 teapots scene (config #5 — real BVH + with_camera path)
 
 Mrays/s counts every BVH traversal actually performed (subpath extension
 casts + BDPT visibility/projection casts).  The reference publishes no
-numbers (BASELINE.md); vs_baseline is against the north star for the
-headline and against round-1 measured values (BASELINE.md table) for the
-configs where one exists.
+numbers (BASELINE.md).
+
+EVERY config emits a row and the script exits 0: each config runs in its
+own subprocess under a wall-clock budget; on timeout or fault the parent
+emits {"value": null, "unit": "timeout"|"error"} for that row.  (The
+round-2 artifact was truncated — rc=124 — because sponza overran the
+driver budget; budgets are the fix.)
 
 Env overrides: BENCH_CONFIGS (comma list of names above, or "headline"),
-BENCH_WIDTH/BENCH_HEIGHT/BENCH_SAMPLES/BENCH_SCENE for the headline.
+BENCH_WIDTH/BENCH_HEIGHT/BENCH_SAMPLES/BENCH_SCENE for the headline,
+BENCH_TIME_BUDGET (scale factor on the per-config budgets, default 1.0).
 """
 
 from __future__ import annotations
@@ -31,6 +40,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# per-config wall budgets (seconds), scaled by BENCH_TIME_BUDGET.  Chosen
+# so a cold full run stays inside the driver's recording budget even if
+# every Mosaic compile is a cache miss.
+BUDGETS = {
+    "headline": 200,
+    "cornell_256": 90,
+    "teapots_512": 150,
+    "dragon_512": 180,
+    "medium_dragon": 200,
+    "big_dragon": 240,
+    "sponza_1080p": 330,
+    "movie_720p": 150,
+}
+DEFAULT_CONFIGS = ",".join(BUDGETS)
+
 
 def _ensure_assets():
     res = os.environ.get(
@@ -38,7 +62,8 @@ def _ensure_assets():
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "resources"),
     )
-    needed = ["teapot.obj", "dragon_vrip_res3.ply", "sponza_scale.ply"]
+    needed = ["teapot.obj", "dragon_vrip_res3.ply", "dragon_vrip_res2.ply",
+              "dragon_vrip.ply", "sponza_scale.ply"]
     if not all(os.path.exists(os.path.join(res, n)) for n in needed):
         subprocess.run(
             [sys.executable,
@@ -49,7 +74,11 @@ def _ensure_assets():
 
 
 def bench_render(preset, width, height, samples, metric, baseline=None,
-                 chunk_rows=None):
+                 chunk_rows=None, max_stripes=None, deadline=None):
+    """Render ``samples`` full frames (or, chunked, up to ``max_stripes``
+    row stripes per sample) and report sustained Mrays/s.  ``deadline``
+    (time.monotonic value) stops measurement early but still reports —
+    a partial measurement beats a missing row."""
     import jax
     import jax.numpy as jnp
 
@@ -67,9 +96,13 @@ def bench_render(preset, width, height, samples, metric, baseline=None,
             return render_sample(k, scene_data, width, height,
                                  row0=row0, rows=chunk_rows)
 
+        row_starts = list(range(0, height, chunk_rows))
+        if max_stripes:
+            row_starts = row_starts[:max_stripes]
+
         def step(key, i, scene_data):
             outs = None
-            for r in range(0, height, chunk_rows):
+            for r in row_starts:
                 o = stripe(key, jnp.uint32(i), jnp.int32(r), scene_data)
                 outs = o if outs is None else jax.tree.map(
                     lambda a, b: a + b, outs, o)
@@ -86,30 +119,38 @@ def bench_render(preset, width, height, samples, metric, baseline=None,
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    n_rays_handles = []
+    total_rays = 0
+    done = 0
     for i in range(1, samples + 1):
         out = step(key, i, scene.data)
-        n_rays_handles.append(out["n_rays"])
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)
+        total_rays += int(out["n_rays"])
+        done += 1
+        if deadline is not None and time.monotonic() > deadline:
+            break
     dt = time.perf_counter() - t0
-    total_rays = int(sum(int(h) for h in n_rays_handles))
 
     mrays = total_rays / dt / 1e6
+    frac = (len(row_starts) * chunk_rows / height) if chunk_rows else 1.0
     rec = {
         "metric": metric,
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / baseline, 3) if baseline else None,
-        "spp_per_s": round(samples / dt, 3),
+        "spp_per_s": round(done * frac / dt, 3),
         "resolution": f"{width}x{height}",
-        "samples": samples,
+        "samples": done,
     }
+    if frac < 1.0:
+        rec["frame_fraction"] = round(frac, 4)
     print(json.dumps(rec), flush=True)
 
 
-def bench_movie(width=1280, height=720, frames=3, spp=2):
-    """Steady-state seconds/frame for the orbit animation (config #5):
-    camera-only scene update + cached jit across frames."""
+def bench_movie(preset="teapots", width=1280, height=720, frames=3, spp=2):
+    """Steady-state seconds/frame for the orbit animation (config #5) on a
+    real BVH scene: camera-only update (Scene.with_camera) + cached jit
+    across frames — the reference instead rebuilds scene+BVH+kernels per
+    frame (reference movie.py:31-38)."""
     import jax
     import jax.numpy as jnp
 
@@ -118,7 +159,7 @@ def bench_movie(width=1280, height=720, frames=3, spp=2):
     from clive2_tpu.scene import orbit_camera
 
     scene = c2.create_scene_from_preset_with_params(
-        "empty", pixel_width=width, pixel_height=height,
+        preset, pixel_width=width, pixel_height=height,
         frame_idx=0, total_frames=120,
     )
     key = jax.random.key(0)
@@ -143,11 +184,8 @@ def bench_movie(width=1280, height=720, frames=3, spp=2):
         frame(f)
     dt = (time.perf_counter() - t0) / frames
 
-    # round-1 measured 0.16 s/frame setup + render at these settings;
-    # baseline here = the reference's per-frame full rebuild (BVH +
-    # kernel recompile) which it pays every frame (movie.py:31-38)
     rec = {
-        "metric": f"movie_s_per_frame_{width}x{height}_{spp}spp",
+        "metric": f"movie_s_per_frame_{preset}_{width}x{height}_{spp}spp",
         "value": round(dt, 3),
         "unit": "s/frame",
         "vs_baseline": None,
@@ -158,75 +196,94 @@ def bench_movie(width=1280, height=720, frames=3, spp=2):
     print(json.dumps(rec), flush=True)
 
 
-def main():
-    configs = os.environ.get(
-        "BENCH_CONFIGS",
-        "headline,cornell_256,teapots_512,dragon_512,sponza_1080p,"
-        "movie_720p",
-    ).split(",")
-
-    if len(configs) > 1 and not os.environ.get("BENCH_NO_FORK"):
-        # run each config in its own subprocess: a TPU fault in one config
-        # (device errors poison the client for the rest of the process)
-        # must not take down the remaining rows
-        _ensure_assets()
-        for cfg in configs:
-            env = dict(os.environ, BENCH_CONFIGS=cfg.strip())
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env)
-            if r.returncode != 0:
-                print(json.dumps({
-                    "metric": cfg.strip(), "value": None, "unit": "error",
-                    "vs_baseline": None,
-                    "error": f"bench subprocess exited {r.returncode}",
-                }), flush=True)
-        return
-
+def run_config(cfg: str):
     from clive2_tpu import constants
 
     constants.TIMED_ENABLED = False
     _ensure_assets()
 
-    width = int(os.environ.get("BENCH_WIDTH", 1920))
-    height = int(os.environ.get("BENCH_HEIGHT", 1080))
-    samples = int(os.environ.get("BENCH_SAMPLES", 8))
-    preset = os.environ.get("BENCH_SCENE", "empty")
+    budget = BUDGETS.get(cfg, 180) * float(
+        os.environ.get("BENCH_TIME_BUDGET", "1.0"))
+    deadline = time.monotonic() + budget * 0.92   # leave margin to report
 
-    for cfg in configs:
-        cfg = cfg.strip()
-        try:
-            if cfg == "headline":
-                bench_render(
-                    preset, width, height, samples,
-                    f"bdpt_ray_throughput_{width}x{height}_{preset}",
-                    baseline=100.0,              # north star Mrays/s/chip
+    if cfg == "headline":
+        width = int(os.environ.get("BENCH_WIDTH", 1920))
+        height = int(os.environ.get("BENCH_HEIGHT", 1080))
+        samples = int(os.environ.get("BENCH_SAMPLES", 8))
+        preset = os.environ.get("BENCH_SCENE", "empty")
+        bench_render(preset, width, height, samples,
+                     f"bdpt_ray_throughput_{width}x{height}_{preset}",
+                     baseline=100.0,              # north star Mrays/s/chip
+                     deadline=deadline)
+    elif cfg == "cornell_256":
+        bench_render("empty", 256, 256, 16, "cornell_256x256",
+                     deadline=deadline)
+    elif cfg == "teapots_512":
+        bench_render("teapots", 512, 512, 4, "teapots_ggx_512x512",
+                     baseline=22.66,              # round-2 measured
+                     deadline=deadline)
+    elif cfg == "dragon_512":
+        bench_render("dragon", 512, 512, 4, "glass_dragon_47k_512x512",
+                     deadline=deadline)
+    elif cfg == "medium_dragon":
+        bench_render("medium-dragon", 512, 512, 4,
+                     "glass_dragon_202k_512x512", deadline=deadline)
+    elif cfg == "big_dragon":
+        bench_render("big-dragon", 512, 512, 4,
+                     "glass_dragon_871k_512x512", deadline=deadline)
+    elif cfg == "sponza_1080p":
+        # row stripes keep each device program under the axon worker's
+        # watchdog (see renderer._auto_chunk_rows); a bounded stripe count
+        # keeps the row inside the bench budget — Mrays/s is per-ray, so
+        # a partial frame measures the same sustained throughput
+        bench_render("sponza", 1920, 1080, 2,
+                     "sponza_1.3Mtris_1920x1080", chunk_rows=54,
+                     max_stripes=int(os.environ.get("BENCH_SPONZA_STRIPES",
+                                                    "4")),
+                     deadline=deadline)
+    elif cfg == "movie_720p":
+        bench_movie()
+    else:
+        raise ValueError(f"unknown bench config {cfg!r}")
+
+
+def main():
+    configs = os.environ.get("BENCH_CONFIGS", DEFAULT_CONFIGS).split(",")
+
+    if len(configs) > 1 or not os.environ.get("BENCH_NO_FORK"):
+        # each config in its own subprocess: a TPU fault or overrun in one
+        # config must not take down the remaining rows
+        _ensure_assets()
+        for cfg in configs:
+            cfg = cfg.strip()
+            budget = BUDGETS.get(cfg, 180) * float(
+                os.environ.get("BENCH_TIME_BUDGET", "1.0"))
+            env = dict(os.environ, BENCH_CONFIGS=cfg, BENCH_NO_FORK="1")
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, timeout=budget,
                 )
-            elif cfg == "cornell_256":
-                bench_render("empty", 256, 256, 16,
-                             "cornell_256x256", baseline=None)
-            elif cfg == "teapots_512":
-                bench_render("teapots", 512, 512, 4,
-                             "teapots_ggx_512x512", baseline=7.5)
-            elif cfg == "dragon_512":
-                bench_render("dragon", 512, 512, 4,
-                             "glass_dragon_512x512", baseline=4.1)
-            elif cfg == "sponza_1080p":
-                # 54-row stripes: each stripe is one short device program.
-                # The axon TPU worker dies when a single program (or launch)
-                # runs for tens of seconds — 270-row stripes at this scene
-                # size ran ~40 s/program and crashed the worker (see
-                # traverse_stream.MAX_BLOCKS_PER_CALL); 54-row stripes
-                # measured green end-to-end at 1080p.
-                bench_render("sponza", 1920, 1080, 1,
-                             "sponza_1.3Mtris_1920x1080", baseline=None,
-                             chunk_rows=54)
-            elif cfg == "movie_720p":
-                bench_movie()
-        except Exception as e:  # one config failing must not kill the rest
-            print(json.dumps({
-                "metric": cfg, "value": None, "unit": "error",
-                "vs_baseline": None, "error": str(e)[:200],
-            }), flush=True)
+                rc = r.returncode
+                err = f"bench subprocess exited {rc}" if rc else None
+            except subprocess.TimeoutExpired:
+                err = f"timeout after {budget:.0f}s"
+            if err:
+                print(json.dumps({
+                    "metric": cfg, "value": None,
+                    "unit": "timeout" if "timeout" in err else "error",
+                    "vs_baseline": None, "error": err,
+                }), flush=True)
+        return
+
+    cfg = configs[0].strip()
+    try:
+        run_config(cfg)
+    except Exception as e:  # emit a row even on failure; parent exits 0
+        print(json.dumps({
+            "metric": cfg, "value": None, "unit": "error",
+            "vs_baseline": None, "error": str(e)[:200],
+        }), flush=True)
 
 
 if __name__ == "__main__":

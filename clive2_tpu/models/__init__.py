@@ -7,4 +7,12 @@ stand-ins for the missing Utah-teapot / Stanford-dragon files
 (scripts/make_assets.py writes them into resources/).
 """
 
-from .primitives import icosphere, revolve, displaced_blob, teapot_like  # noqa: F401
+from .primitives import (  # noqa: F401
+    displaced_blob,
+    displaced_blob_exact,
+    icosphere,
+    revolve,
+    teapot_like,
+    uv_sphere,
+)
+from .teapot import utah_teapot  # noqa: F401

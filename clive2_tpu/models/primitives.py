@@ -150,6 +150,55 @@ def displaced_blob(subdivisions: int = 4, amplitude: float = 0.35,
     return verts, faces
 
 
+def uv_sphere(n_lon: int, n_rings: int):
+    """Watertight longitude/latitude sphere: two poles, ``n_rings``
+    interior latitude rings of ``n_lon`` vertices; exactly
+    2 * n_lon * n_rings triangles.  Unlike icosphere (powers of 4 only)
+    this hits arbitrary triangle-count targets."""
+    lat = np.pi * (np.arange(1, n_rings + 1)) / (n_rings + 1)  # (0, pi)
+    lon = 2 * np.pi * np.arange(n_lon) / n_lon
+    sl, cl = np.sin(lat)[:, None], np.cos(lat)[:, None]
+    verts = [np.array([[0.0, 1.0, 0.0]])]
+    verts.append(np.stack([
+        (sl * np.cos(lon)[None, :]).ravel(),
+        np.broadcast_to(cl, (n_rings, n_lon)).ravel(),
+        (sl * np.sin(lon)[None, :]).ravel(),
+    ], axis=1))
+    verts.append(np.array([[0.0, -1.0, 0.0]]))
+    v = np.concatenate(verts)
+
+    j = np.arange(n_lon)
+    jn = (j + 1) % n_lon
+    ring = lambda i: 1 + i * n_lon
+    faces = [np.stack([np.zeros(n_lon, np.int64), ring(0) + j, ring(0) + jn],
+                      axis=1)]
+    for i in range(n_rings - 1):
+        a, b = ring(i), ring(i + 1)
+        faces.append(np.stack([a + j, b + j, b + jn], axis=1))
+        faces.append(np.stack([a + j, b + jn, a + jn], axis=1))
+    south = len(v) - 1
+    a = ring(n_rings - 1)
+    faces.append(np.stack([a + j, np.full(n_lon, south, np.int64), a + jn],
+                          axis=1))
+    return v, np.concatenate(faces).astype(np.int32)
+
+
+def displaced_blob_exact(target_tris: int, amplitude: float = 0.35,
+                         stretch=(1.6, 0.9, 1.0), seed: int = 3):
+    """``displaced_blob`` on a UV sphere sized to hit ``target_tris``
+    (exactly 2 * n_lon * n_rings, the closest factorization to the
+    target) — used so the dragon stand-ins carry the REAL Stanford
+    triangle counts (res3 = 47,794; res2 = 202,520; full = 871,414)
+    instead of the nearest icosphere power of four."""
+    n_lon = max(8, int(round(np.sqrt(target_tris / 4.0))))
+    n_rings = max(3, int(round(target_tris / (2.0 * n_lon))))
+    verts, faces = uv_sphere(n_lon, n_rings)
+    disp = _fbm3(verts * 2.0, octaves=5, seed=seed)
+    verts = verts * (1.0 + amplitude * disp)[:, None]
+    verts = verts * np.asarray(stretch)[None, :]
+    return verts, faces
+
+
 def teapot_like(segments: int = 40):
     """Pot-shaped surface of revolution with a lid knob — the stand-in for
     the Utah teapot OBJ (~6k tris at default segments)."""

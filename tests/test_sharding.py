@@ -20,6 +20,28 @@ def scene_64():
     return c2.create_scene_from_preset("empty", pixel_width=64, pixel_height=16)
 
 
+@pytest.fixture(scope="module")
+def scene_bvh():
+    """A scene past the brute threshold: takes the gather-walk BVH path
+    (miss-link while_loop + separate camtri merge) — the traversal GSPMD
+    is most likely to partition badly, so it needs its own sharded
+    equality proof (round-2 review: only the brute path was ever
+    sharded)."""
+    from clive2_tpu.geometry import TriangleSoup
+    from clive2_tpu.models import icosphere
+
+    v, f = icosphere(2)                       # 320 tris > BRUTE_FORCE_MAX
+    soup = TriangleSoup.from_vertices(v[f] * 1.5 + np.array([0, 1.0, 0]),
+                                      material=4)
+    scene = c2.create_scene(pixel_width=64, pixel_height=16,
+                            cam_center=np.array([0, 1.5, 6]),
+                            cam_direction=np.array([0, 0, -1.0]),
+                            extra_geometry=soup)
+    assert "bvh" in scene.data and "brute" not in scene.data
+    assert "camtri" in scene.data
+    return scene
+
+
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
@@ -38,6 +60,26 @@ def test_sharded_matches_single_device(scene_64):
     np.testing.assert_allclose(
         np.asarray(sharded["weight"]), np.asarray(single["weight"]),
         rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_sharded_bvh_scene_matches_single(scene_bvh):
+    """The gather-walk traversal (lax.while_loop over node pointers with
+    per-ray gathers) and the camtri merge must partition over the tiles
+    axis without changing results."""
+    w, h = 64, 16
+    mesh = Mesh(np.array(jax.devices()), ("tiles",))
+    step = make_sharded_render(mesh, w, h)
+    key = jax.random.key(7)
+    sharded = step(key, scene_bvh.data)
+    single = render_sample_jit(key, scene_bvh.data, w, h)
+    np.testing.assert_allclose(
+        np.asarray(sharded["image"]), np.asarray(single["image"]),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded["unidirectional"]),
+        np.asarray(single["unidirectional"]), rtol=1e-4, atol=1e-6,
     )
 
 
