@@ -114,11 +114,22 @@ def ggx_brdf_reflect(i, o, m, n, ni, no, alpha):
 
 
 def ggx_brdf_transmit(i, o, m, n, ni, no, alpha):
-    """Microfacet transmission BTDF (trace.metal:311-328)."""
+    """Microfacet transmission BTDF (trace.metal:311-328).
+
+    D, G, F are evaluated at the SAMPLED microfacet normal ``m`` exactly
+    as the reference does (trace.metal:313-316) — NOT at the recomputed
+    half vector ``h``, which comes out anti-parallel to m (the unnegated
+    Walter convention trace.metal:250-252) and would trip GGX_G's
+    sidedness check, silently zeroing every transmission event.  (That
+    was a real round-2 bug, caught by the glass-furnace oracle in
+    tests/test_furnace.py; D, F and the |dot| products are h/-h
+    symmetric, so the G check is the only difference.)  ``h`` still
+    supplies the im/om measure terms, as in the reference.
+    """
     h = transmit_half_direction(i, o, ni, no)
-    d = ggx_d(h, n, alpha)
-    g = ggx_g(i, o, h, n, alpha)
-    f = fresnel(i, h, ni, no)
+    d = ggx_d(m, n, alpha)
+    g = ggx_g(i, o, m, n, alpha)
+    f = fresnel(i, m, ni, no)
     im = dot(i, h)
     om = dot(o, h)
     i_n = dot(i, n)
@@ -165,9 +176,26 @@ def reflect_bounce(wi, n, m, ni, no, alpha, from_camera: bool):
 
 
 def transmit_bounce(wi, n, m, ni, no, alpha, from_camera: bool):
-    """GGX transmission bounce (trace.metal:364-379)."""
+    """GGX transmission bounce (trace.metal:364-379).
+
+    Weight convention: in this codebase (as in the reference) the sampled
+    branch's throughput multiplier is f / branch_pdf with no separate
+    cosine — the reflect f is pre-divided by 4|i.m| (trace.metal:303-309)
+    precisely so f/p equals Walter's weight |i.h| G / (|i.n| |h.n|)
+    (Walter et al. 2007, eq. 41).  The reference's transmit f (the
+    standard Walter BTDF) lacks the matching |o.n| factor, making every
+    refraction's weight 1/cos(o) too large — a measurable energy
+    inflation (the glass-furnace oracle in tests/test_furnace.py reads
+    +2% global / +20% at grazing).  The corrected estimator multiplies f
+    by |o.n| so f/p hits the Walter weight exactly; CLIVE2_REFERENCE_MIS=1
+    keeps the reference's inflated value verbatim.
+    """
+    from ..constants import REFERENCE_MIS
+
     wo = ggx_transmit_direction(wi, m, ni, no)
     f = ggx_brdf_transmit(wi, wo, m, n, ni, no, alpha)
+    if not REFERENCE_MIS:
+        f = f * jnp.abs(dot(wo, n))
     pf = 1.0 - fresnel(wi, m, ni, no)
     pm = jnp.abs(dot(m, n)) * ggx_d(m, n, alpha)
     fwd = pf * pm * transmit_jacobian(wi, wo, m, ni, no)

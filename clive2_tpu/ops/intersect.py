@@ -163,7 +163,7 @@ def intersect_scene(origin, direction, scene, active=None, sort=False,
     valid any-hit answer too.
     """
     if sort is None:
-        sort = "stream" in scene
+        sort = ("stream" in scene) or ("stream2" in scene)
     if "brute_pallas" in scene:
         from .brute_pallas import intersect_brute_pallas
 
@@ -183,6 +183,12 @@ def intersect_scene(origin, direction, scene, active=None, sort=False,
         from .traverse_pallas2 import intersect_pallas2
 
         hit = intersect_pallas2(origin, direction, scene["pallas"],
+                                active=active, sort=sort, t_max=t_max,
+                                any_hit=any_hit)
+    elif "stream2" in scene:
+        from .traverse_stream2 import intersect_stream2
+
+        hit = intersect_stream2(origin, direction, scene["stream2"],
                                 active=active, sort=sort, t_max=t_max,
                                 any_hit=any_hit)
     elif "stream" in scene:

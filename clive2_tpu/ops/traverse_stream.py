@@ -71,6 +71,27 @@ assert NBUF >= 2 and (NBUF & (NBUF - 1)) == 0, \
     "CLIVE2_STREAM_NBUF must be a power of two >= 2 (ring slots are " \
     "masked with qhead & (NBUF-1))"
 INF = float("inf")
+# measurement-only ablations (scripts/bench_stream.py --diag):
+#   "nodrain"  drain waits the DMA then discards the block (node phase +
+#              DMA cost only)
+#   "nomt"     drain runs the subtile box prefilter but skips the MT
+#   "count"    full kernel, but out_u[0, 0] reports the number of fat-leaf
+#              drains this packet performed (corrupts results; diag only)
+STREAM_DIAG = os.environ.get("CLIVE2_STREAM_DIAG", "")
+# drain implementation (measured on the 871k-tri blob, 1M rays, v5e):
+#   "v1"  transposed [8 tris x 128 rays] per-row MT — ~300 us per drained
+#         block: LATENCY-bound on its serial [1, 128] reduce +
+#         read-modify-write chain per (subtile, row), not VPU throughput
+#   "v2"  per-triangle VMEM-scalar broadcast over the whole packet —
+#         ~220 us: the ~10 VMEM->SREG scalar reads per triangle each cost
+#         ~150 cycles and dominate
+#   "v3"  (default) rays-in-sublanes x tris-in-lanes dense cross: per ray
+#         lane-column, one [RAY_ROWS, cols] op block tests 32 rays against
+#         every triangle of the fat leaf at full VPU efficiency — tri
+#         attributes are [1, cols] sublane-broadcasts, ray attributes are
+#         [rows, 1] lane-broadcasts (both native), zero scalar reads, and
+#         best-hit state merges into registers per lane group
+STREAM_DRAIN = os.environ.get("CLIVE2_STREAM_DRAIN", "v3")
 
 
 def _make_kernel(any_hit: bool):
@@ -125,12 +146,202 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
     def alive_now():
         return (active & (out_i[:] < 0)) if any_hit else active
 
+    # ---- drain v2: per-triangle scalar broadcast over the whole packet -----
+    # Each triangle's 10 attributes are read as VMEM SCALARS and splatted
+    # into full-packet [RAY_ROWS, 128] elementwise Möller-Trumbore — no
+    # [1, 128] row slices, no cross-sublane reductions, and best-hit state
+    # rides in registers with one ref read-modify-write per subtile.  The
+    # multi-tile ops keep the VPU pipeline full where v1's single-tile
+    # dependent chain stalled on op latency (~10x measured).
+    def _drain_v2(slot):
+        alive = alive_now()
+        shape = (RAY_ROWS, LANES)
+
+        def sc(r, k):
+            return blocks[slot, r, k]
+
+        for j in range(n_subtiles):
+            base = j * SUB_SLOTS
+            # subtile AABB (uniform across its 8 slots): 6 scalar reads,
+            # one full-packet slab test
+            t0x = (sc(10, base) - o_x) * invx
+            t1x = (sc(13, base) - o_x) * invx
+            t0y = (sc(11, base) - o_y) * invy
+            t1y = (sc(14, base) - o_y) * invy
+            t0z = (sc(12, base) - o_z) * invz
+            t1z = (sc(15, base) - o_z) * invz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), out_t[:]),
+            )
+            box_ok = (tmin <= tmax) & alive
+            has_tri = sc(9, base) >= 0.0
+            for c in range(1, SUB_SLOTS):
+                has_tri = has_tri | (sc(9, base + c) >= 0.0)
+            go = jnp.any(box_ok) & has_tri
+
+            @pl.when(go)
+            def _(base=base, box_ok=box_ok):
+                cur_t = out_t[:]
+                cur_i = out_i[:]
+                cur_u = out_u[:]
+                cur_v = out_v[:]
+                for c in range(SUB_SLOTS):
+                    k = base + c
+                    tri_f = sc(9, k)
+                    v0x, v0y, v0z = sc(0, k), sc(1, k), sc(2, k)
+                    e1x, e1y, e1z = sc(3, k), sc(4, k), sc(5, k)
+                    e2x, e2y, e2z = sc(6, k), sc(7, k), sc(8, k)
+                    hx = d_y * e2z - d_z * e2y
+                    hy = d_z * e2x - d_x * e2z
+                    hz = d_x * e2y - d_y * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    f = 1.0 / a
+                    sx = o_x - v0x
+                    sy = o_y - v0y
+                    sz = o_z - v0z
+                    u = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = f * (d_x * qx + d_y * qy + d_z * qz)
+                    t = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                        & (u + v <= 1.0) & (t > DELTA) & (t < cur_t)
+                        & box_ok & (tri_f >= 0.0)
+                    )
+                    cur_t = jnp.where(ok, t, cur_t)
+                    cur_i = jnp.where(ok, jnp.int32(tri_f), cur_i)
+                    cur_u = jnp.where(ok, u, cur_u)
+                    cur_v = jnp.where(ok, v, cur_v)
+                out_t[:] = cur_t
+                out_i[:] = cur_i
+                out_u[:] = cur_u
+                out_v[:] = cur_v
+
+    # ---- drain v3: rays-in-sublanes x tris-in-lanes dense cross ------------
+    # One op block per ray lane-column: the 32 rays of packet lane l (a
+    # [RAY_ROWS, 1] slice, lane-broadcast) against ALL fat-leaf triangles
+    # ([1, cols] attribute rows, sublane-broadcast) — every [8, 128] tile
+    # issue performs 1024 distinct ray-triangle tests, there are no
+    # VMEM scalar reads (v2's wall) and no [1, 128] ref RMWs (v1's wall);
+    # per-lane best-hit folds into full-packet registers with a lane mask
+    # and the output refs are written once per block.  The per-slot AABB
+    # rows (10-15) double as an in-op prefilter term replacing v1's
+    # subtile gating.
+    def _drain_v3(slot):
+        alive = alive_now()
+        cols = leafblocks.shape[2]
+        shape_c = (RAY_ROWS, cols)
+
+        def blk(r):
+            return jnp.broadcast_to(blocks[slot, r:r + 1, :], shape_c)
+
+        v0x, v0y, v0z = blk(0), blk(1), blk(2)
+        e1x, e1y, e1z = blk(3), blk(4), blk(5)
+        e2x, e2y, e2z = blk(6), blk(7), blk(8)
+        tri_f = blk(9)
+        bmnx, bmny, bmnz = blk(10), blk(11), blk(12)
+        bmxx, bmxy, bmxz = blk(13), blk(14), blk(15)
+        tri_ok = tri_f >= 0.0
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RAY_ROWS, LANES), 1)
+        acc_t = out_t[:]
+        acc_i = out_i[:]
+        acc_u = out_u[:]
+        acc_v = out_v[:]
+
+        for l in range(LANES):
+            def col(a):
+                return jnp.broadcast_to(a[:, l:l + 1], shape_c)
+
+            rox, roy, roz = col(o_x), col(o_y), col(o_z)
+            rdx, rdy, rdz = col(d_x), col(d_y), col(d_z)
+            rvx, rvy, rvz = col(invx), col(invy), col(invz)
+            abt_col = acc_t[:, l:l + 1]                    # [R, 1]
+            abt = jnp.broadcast_to(abt_col, shape_c)
+            rok = col(alive.astype(jnp.float32)) > 0.0
+
+            # per-slot sub-leaf AABB prefilter, fused into the mask
+            t0x = (bmnx - rox) * rvx
+            t1x = (bmxx - rox) * rvx
+            t0y = (bmny - roy) * rvy
+            t1y = (bmxy - roy) * rvy
+            t0z = (bmnz - roz) * rvz
+            t1z = (bmxz - roz) * rvz
+            btmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            btmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), abt),
+            )
+            box_ok = (btmin <= btmax) & rok & tri_ok
+
+            hx = rdy * e2z - rdz * e2y
+            hy = rdz * e2x - rdx * e2z
+            hz = rdx * e2y - rdy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a
+            sx = rox - v0x
+            sy = roy - v0y
+            sz = roz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (rdx * qx + rdy * qy + rdz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            ok = (
+                (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > DELTA) & (t < abt) & box_ok
+            )
+            t = jnp.where(ok, t, INF)
+            t_red = jnp.min(t, axis=1, keepdims=True)      # [R, 1]
+            found = t_red < abt_col                        # [R, 1]
+            is_best = (t == jnp.broadcast_to(t_red, shape_c)) & ok
+            pick = lambda val: jnp.max(
+                jnp.where(is_best, val, -jnp.float32(INF)),
+                axis=1, keepdims=True,
+            )
+            sel_i = pick(tri_f)
+            sel_u = pick(jnp.where(is_best, u, 0.0))
+            sel_v = pick(jnp.where(is_best, v, 0.0))
+
+            upd = (lane == l) & jnp.broadcast_to(found, (RAY_ROWS, LANES))
+            bc = lambda r: jnp.broadcast_to(r, (RAY_ROWS, LANES))
+            acc_t = jnp.where(upd, bc(t_red), acc_t)
+            acc_i = jnp.where(upd, bc(sel_i.astype(jnp.int32)), acc_i)
+            acc_u = jnp.where(upd, bc(sel_u), acc_u)
+            acc_v = jnp.where(upd, bc(sel_v), acc_v)
+
+        out_t[:] = acc_t
+        out_i[:] = acc_i
+        out_u[:] = acc_u
+        out_v[:] = acc_v
+
     # ---- drain: wait the oldest DMA, intersect its block -------------------
     def drain(qhead):
         slot = qhead & (NBUF - 1)
         pltpu.make_async_copy(
             leafblocks.at[0], blocks.at[slot], sem.at[slot]
         ).wait()
+        if STREAM_DIAG == "count":
+            out_u[0:1, 0:128] = out_u[0:1, 0:128] + 1.0
+        if STREAM_DIAG == "nodrain":
+            return
+        if STREAM_DRAIN == "v3":
+            _drain_v3(slot)
+            return
+        if STREAM_DRAIN == "v2":
+            _drain_v2(slot)
+            return
         block = blocks[slot]                               # [16, cols]
         alive_f = alive_now().astype(jnp.float32)
 
@@ -178,6 +389,8 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
             for h in range(1, len(halves)):
                 any_box = any_box | halves[h]
             go = jnp.any(any_box) & has_tri
+            if STREAM_DIAG == "nomt":
+                continue
 
             @pl.when(go)
             def _(col=col, halves=halves):

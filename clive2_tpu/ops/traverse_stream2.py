@@ -1,0 +1,722 @@
+"""Pallas TPU streaming traversal v2: MXU-bilinear Möller-Trumbore.
+
+Successor to traverse_stream.py, built from its measured wall: the drain
+(fat-leaf intersection) dominated at ~200-300 us per DMA'd block in every
+VPU formulation tried —
+
+  * transposed [8 tris x 128 rays] per-row MT: latency-bound on the serial
+    [1, 128] reduce + read-modify-write chain per (subtile, row);
+  * per-triangle VMEM-scalar broadcast: ~10 VMEM->SREG reads per triangle
+    at ~150 cycles each;
+  * rays-in-sublanes lane-column cross: single-lane extract broadcasts and
+    per-group cross-lane reduces, both latency-heavy on the VPU.
+
+The fix moves the ray x triangle cross products OFF the VPU entirely.
+Möller-Trumbore's four intermediates are bilinear forms between a ray
+feature vector and per-triangle feature vectors (validated to 1e-16
+against the direct formulas):
+
+    r   = [d, m, o, 1],  m = o x d        (the ray's Plücker moment)
+    a   = r . [-n, 0, 0, 0]               n = e1 x e2
+    u_n = r . [v0 x e2, e2, 0, 0]
+    v_n = r . [-(v0 x e1), -e1, 0, 0]
+    t_n = r . [0, 0, n, -v0.n]            u, v, t = (u_n, v_n, t_n) / a
+
+so one [128 rays, 16] @ [16, 4*128 tris] MXU matmul per ray chunk per
+fat-leaf block performs 65,536 ray-triangle tests' worth of cross/dot
+products, followed by a dozen fully-pipelined elementwise [128, 128] ops.
+Best-hit state lives per (ray, triangle-lane) in VMEM scratch — updates
+are pure elementwise min/select with NO per-block reductions — and is
+folded to one winner per ray ONCE per packet.  The kernel reports (t,
+fat-leaf slot code); the XLA wrapper maps codes to triangle ids and
+re-runs the exact scalar Möller-Trumbore on each ray's single winning
+triangle to recover u, v at reference precision (ray origins and triangle
+bases are center-shifted to keep the bilinear forms well-conditioned).
+
+Top-tree walk (SMEM) and fat-leaf DMA ring are inherited unchanged from
+traverse_stream.py.  Replaces /root/reference/src/trace.metal:144-176 for
+scenes past the VMEM-resident kernels' ceiling; same contract as
+intersect_bvh.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import DELTA
+from .traverse_pallas2 import _morton_key
+from .traverse_stream import (
+    MAX_BLOCKS_PER_CALL,
+    NBUF,
+    STACK_DEPTH,
+    _cut_mask,
+)
+
+SUBLANES = 8
+LANES = 128
+# diagnostic ablations (scripts/diag_stream.py): "nodrain" waits each DMA
+# then discards the block (node phase + DMA cost only); "count" adds one
+# drain counter per packet in out_t row 0 (plus the normal drain work).
+STREAM_DIAG = os.environ.get("CLIVE2_STREAM_DIAG", "")
+# MXU pass count for the drain matmul.  The operands are PRE-SPLIT into
+# a bf16 hi/lo decomposition stacked along K (r' = [r_hi | r_lo | r_hi]
+# against B' = [B_hi; B_hi; B_lo]) and stored as NATIVE bf16 arrays, so
+# ONE pass on exact bf16 operands computes the three bf16x3 products
+# (~2^-17 relative error; the id channel is exact because its ray-side
+# factor is an exact 1.0, and the winner's t/u/v are re-derived in exact
+# f32 by the XLA wrapper).  Native bf16 storage (a) halves the fat-leaf
+# DMA bytes and (b) makes the operand rounding OURS (numpy rtne at pack
+# time): feeding the same split values as f32 operands at DEFAULT
+# precision measurably broke hit selection (21-35% id mismatch — Mosaic's
+# internal f32->bf16 operand handling is not the advertised 1-pass rtne
+# cast), while the identical layout under HIGHEST matched 100%.
+# "highest" remains as an A/B knob (6 passes on the bf16 operands).
+STREAM_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("CLIVE2_STREAM_PREC", "default")]
+# 1 = copy the ring slot into a dedicated 2D scratch before the drain
+# matmul (A/B isolating a Mosaic miscompile of tpu.matmul on a
+# dynamically-indexed 3D scratch operand)
+STREAM_STAGE = int(os.environ.get("CLIVE2_STREAM_STAGE", "0"))
+# "outer" computes the drain product as a VPU outer-product sum over the
+# K rows (mathematically identical to the dot, no MXU) — the bisection
+# lever that separates a tpu.matmul lowering fault from everything else
+STREAM_MM = os.environ.get("CLIVE2_STREAM_MM", "dot")
+RAY_ROWS = int(os.environ.get("CLIVE2_STREAM_ROWS", 32))
+assert RAY_ROWS % SUBLANES == 0
+BLOCK_RAYS = RAY_ROWS * LANES          # rays per packet
+NCHUNK = BLOCK_RAYS // LANES           # 128-ray matmul chunks per packet
+NMASKW = (NCHUNK + 15) // 16           # 16-bit chunk-mask words per slot
+FEAT = 16                              # base ray/tri feature rows (10 used)
+KDIM = 48                              # contracted dim: [hi | lo | hi] x FEAT
+GROUPS = 5                             # a | u_num | v_num | t_num | code
+SUB_SLOTS = 8                          # triangles per SAH leaf
+INF = float("inf")
+
+
+def _make_kernel(n_fat_cols: int):
+    return functools.partial(_kernel, n_fat_cols)
+
+
+def _kernel(cols, nodebox, childs, leafblocks, rayfeat, capt,
+            ox, oy, oz, dx, dy, dz, tm,
+            out_t, out_code,
+            stack, qmask, acc_t, acc_c, blocks, staged, sem):
+    """cols = triangles per fat leaf (128 * blocks_per_leaf)."""
+    tiny = jnp.float32(1e-30)
+
+    def inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < tiny,
+                               jnp.where(d < 0, -tiny, tiny), d)
+
+    invx, invy, invz = inv(dx[:]), inv(dy[:]), inv(dz[:])
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    bt0 = tm[:]                         # per-ray caps (lane-major planes)
+
+    # per-packet accumulator init: best-t starts at the caller's cap
+    # (inactive rays carry -1 so nothing can ever beat it), code -1.
+    # The caps ride in ``capt`` [NCHUNK, LANES, 1] — the transposed
+    # layout of the ``tm`` plane, precomputed by the XLA wrapper so chunk
+    # c's per-ray caps are one [128, 1] f32 column indexed on dim 0 (bf16
+    # rayfeat cannot carry an exact cap, and Mosaic forbids dynamic lane
+    # offsets).  Chunk loops are lax.fori_loops, NOT Python-unrolled: at
+    # NCHUNK=32 an unrolled drain multiplied the Mosaic program ~32x and
+    # pushed remote compiles to ~8 minutes.
+    def init_chunk(c, _):
+        tm_col = capt[c]                                     # [128, 1]
+        acc_t[c] = jnp.broadcast_to(tm_col, (LANES, cols))
+        acc_c[c] = jnp.full((LANES, cols), -1.0, dtype=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, NCHUNK, init_chunk, 0)
+
+    def box_test(node, base, alive_t):
+        off = node * 12 + base
+        t0x = (nodebox[off + 0] - o_x) * invx
+        t1x = (nodebox[off + 3] - o_x) * invx
+        t0y = (nodebox[off + 1] - o_y) * invy
+        t1y = (nodebox[off + 4] - o_y) * invy
+        t0z = (nodebox[off + 2] - o_z) * invz
+        t1z = (nodebox[off + 5] - o_z) * invz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), alive_t),
+        )
+        hit = tmin <= tmax
+        return jnp.min(jnp.where(hit, tmin, INF))
+
+    # chunk c of the drain covers exactly plane row c (NCHUNK == RAY_ROWS),
+    # so a per-ROW any-hit bitmask computed at enqueue time tells the drain
+    # which chunks can possibly intersect the block.  The mask packs 16
+    # rows per SMEM int32 word via a max-per-row / sum-over-rows reduce,
+    # and the live ROW SPAN [lo, hi] rides in two more words so the drain
+    # loop runs hi-lo+1 iterations instead of NCHUNK: Morton-sorted rays
+    # cluster each fat leaf's needy rays into ~1-3 adjacent chunks, and
+    # the fixed NCHUNK-iteration mask scan was a measured ~20% of the
+    # incoherent-wavefront drain cost (and would grow linearly with the
+    # packet size, defeating big packets).
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (RAY_ROWS, LANES), 0)
+
+    def write_masks(node, base, slot):
+        off = node * 12 + base
+        t0x = (nodebox[off + 0] - o_x) * invx
+        t1x = (nodebox[off + 3] - o_x) * invx
+        t0y = (nodebox[off + 1] - o_y) * invy
+        t1y = (nodebox[off + 4] - o_y) * invy
+        t0z = (nodebox[off + 2] - o_z) * invz
+        t1z = (nodebox[off + 5] - o_z) * invz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), bt0),
+        )
+        live = tmin <= tmax
+        bit = jnp.where(live, jnp.int32(1) << (rowi & 15), jnp.int32(0))
+        for w in range(NMASKW):
+            qmask[slot, w] = jnp.sum(
+                jnp.max(jnp.where((rowi >> 4) == w, bit, 0), axis=1))
+        qmask[slot, NMASKW] = jnp.min(
+            jnp.where(live, rowi, jnp.int32(NCHUNK)))
+        qmask[slot, NMASKW + 1] = jnp.max(
+            jnp.where(live, rowi, jnp.int32(-1)))
+
+    # ---- drain: one matmul + elementwise merge per ray chunk ---------------
+    def drain(qhead):
+        slot = qhead & (NBUF - 1)
+        pltpu.make_async_copy(
+            leafblocks.at[0], blocks.at[slot], sem.at[slot]
+        ).wait()
+        if STREAM_DIAG == "nodrain":
+            return
+        if STREAM_STAGE:
+            staged[:, :] = blocks[slot]
+            feat = staged[:, :]                            # [KDIM, 5*cols]
+        else:
+            feat = blocks[slot]                            # [KDIM, 5*cols]
+
+        def drain_chunk(c, _):
+            live = (qmask[slot, c >> 4] >> (c & 15)) & 1
+
+            @pl.when(live == 1)
+            def _():
+                _drain_one(c, feat)
+
+            return 0
+
+        span_lo = qmask[slot, NMASKW]
+        span_hi = qmask[slot, NMASKW + 1]
+
+        def _drain_one(c, feat):
+            rf = rayfeat[pl.ds(c * LANES, LANES), :]       # [128, KDIM]
+            # ONE matmul per chunk covers all five output groups (the
+            # block's 5*cols columns are contiguous), amortizing the
+            # MXU's fixed per-dot latency.  Precision comes from the
+            # operand layout, not the pass count: both sides carry a
+            # bf16 hi/lo split stacked along K (see STREAM_PREC note at
+            # the top), so this single DEFAULT pass reproduces bf16x3
+            # accuracy.  Group 4 carries the fat-BLOCK id (exact — its
+            # ray-side factor is the constant 1.0); the global slot is
+            # reconstructed in the fold, and the winner's t/u/v are
+            # re-derived exactly by the XLA wrapper.
+            if STREAM_MM == "outer":
+                # VPU outer-product sum: identical math, no tpu.matmul.
+                # Only the 10 live feature rows contribute (rows 10-15 of
+                # each 16-row section are zero by construction).
+                acc = jnp.zeros((LANES, GROUPS * cols), jnp.float32)
+                for k in list(range(10)) + list(range(16, 26)) \
+                        + list(range(32, 42)):
+                    acc = acc + (
+                        rf[:, k:k + 1].astype(jnp.float32)
+                        * feat[k:k + 1, :].astype(jnp.float32)
+                    )
+                prod = acc
+            else:
+                prod = jnp.dot(rf, feat, preferred_element_type=jnp.float32,
+                               precision=STREAM_PREC)
+            a = prod[:, 0 * cols:1 * cols]
+            u_n = prod[:, 1 * cols:2 * cols]
+            v_n = prod[:, 2 * cols:3 * cols]
+            t_n = prod[:, 3 * cols:4 * cols]
+            code = prod[:, 4 * cols:5 * cols]
+            f = 1.0 / a
+            u = u_n * f
+            v = v_n * f
+            t = t_n * f
+            cur_t = acc_t[c]
+            ok = (
+                (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > DELTA) & (t < cur_t)
+            )
+            acc_t[c] = jnp.where(ok, t, cur_t)
+            acc_c[c] = jnp.where(ok, code, acc_c[c])
+            return 0
+
+        jax.lax.fori_loop(span_lo, span_hi + 1, drain_chunk, 0)
+
+    # ---- node phase: pop SMEM nodes, DMA fat-leaf children -----------------
+    def node_phase(carry):
+        def cond(c):
+            sp, qhead, qcount = c
+            return (sp > 0) & (qcount < NBUF - 1)
+
+        def body(c):
+            sp, qhead, qcount = c
+            node = stack[sp - 1]
+            sp = sp - 1
+
+            near_a = box_test(node, 0, bt0)
+            near_b = box_test(node, 6, bt0)
+            any_a = near_a < INF
+            any_b = near_b < INF
+
+            ca = childs[node * 2]
+            cb = childs[node * 2 + 1]
+            a_leaf = ca < 0
+            b_leaf = cb < 0
+
+            push_b = any_b & (~b_leaf)
+            push_a = any_a & (~a_leaf)
+            enq_a = any_a & a_leaf
+            enq_b = any_b & b_leaf
+
+            a_near = near_a <= near_b
+            both = push_a & push_b
+            first = jnp.where(a_near, cb, ca)
+            second = jnp.where(a_near, ca, cb)
+
+            @pl.when(both)
+            def _():
+                stack[sp] = first
+                stack[sp + 1] = second
+
+            @pl.when(push_b & ~both)
+            def _():
+                stack[sp] = cb
+
+            @pl.when(push_a & ~both)
+            def _():
+                stack[sp] = ca
+
+            sp = sp + push_a.astype(jnp.int32) + push_b.astype(jnp.int32)
+
+            slot_a = (qhead + qcount) & (NBUF - 1)
+            slot_b = (qhead + qcount + enq_a.astype(jnp.int32)) & (NBUF - 1)
+
+            @pl.when(enq_a)
+            def _():
+                pltpu.make_async_copy(
+                    leafblocks.at[-(ca + 1)], blocks.at[slot_a],
+                    sem.at[slot_a],
+                ).start()
+                write_masks(node, 0, slot_a)
+
+            @pl.when(enq_b)
+            def _():
+                pltpu.make_async_copy(
+                    leafblocks.at[-(cb + 1)], blocks.at[slot_b],
+                    sem.at[slot_b],
+                ).start()
+                write_masks(node, 6, slot_b)
+
+            qcount = qcount + enq_a.astype(jnp.int32) + enq_b.astype(jnp.int32)
+            return sp, qhead, qcount
+
+        return jax.lax.while_loop(cond, body, carry)
+
+    stack[0] = 0
+
+    def outer_cond(c):
+        sp, qhead, qcount = c
+        return (sp > 0) | (qcount > 0)
+
+    def outer_body(c):
+        sp, qhead, qcount = node_phase(c)
+
+        @pl.when(qcount > 0)
+        def _():
+            drain(qhead)
+
+        qhead = jnp.where(qcount > 0, qhead + 1, qhead)
+        qcount = jnp.maximum(qcount - 1, 0)
+        return sp, qhead, qcount
+
+    final = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(1), jnp.int32(0), jnp.int32(0)),
+    )
+
+    # ---- fold: one winner per ray (the packet's ONLY cross-lane work) ------
+    # acc_c holds the winning fat-BLOCK id per (ray, lane); the global
+    # slot is fat_id * cols + lane, reconstructed here in exact f32 VPU
+    # arithmetic (total slots < 2^24).
+    # int32 iota (tpu.iota cannot emit f32 directly), then widen
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (LANES, cols), 1).astype(jnp.float32)
+    # Mosaic cannot store a [128, 1] vector at a DYNAMIC lane offset
+    # (dimension-1 dynamic indices must be 128-aligned), so the fold
+    # accumulates each chunk's column into a [128, 128] register carry
+    # via an iota==c select (pure elementwise) and stores the block ONCE.
+    col = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+
+    def fold_chunk(c, carry):
+        t_blk, c_blk = carry
+        t_c = acc_t[c]
+        t_red = jnp.min(t_c, axis=1, keepdims=True)        # [128, 1]
+        is_best = (t_c == jnp.broadcast_to(t_red, t_c.shape)) \
+            & (acc_c[c] >= 0.0)
+        code = jnp.max(
+            jnp.where(is_best, acc_c[c] * cols + lane, -1.0),
+            axis=1, keepdims=True,
+        )
+        sel = col == c
+        t_blk = jnp.where(sel, jnp.broadcast_to(t_red, t_blk.shape), t_blk)
+        c_blk = jnp.where(sel, jnp.broadcast_to(code, c_blk.shape), c_blk)
+        return t_blk, c_blk
+
+    t_blk, c_blk = jax.lax.fori_loop(
+        0, NCHUNK, fold_chunk,
+        (jnp.zeros((LANES, LANES), jnp.float32),
+         jnp.full((LANES, LANES), -1.0, jnp.float32)),
+    )
+    out_t[:, :] = t_blk
+    out_code[:, :] = c_blk
+    if STREAM_DIAG == "count":
+        # drain count == final qhead (incremented once per drain); lane
+        # 127 >= NCHUNK so the wrapper's unscramble ignores it — read raw.
+        out_t[0:1, LANES - 1:LANES] = jnp.full(
+            (1, 1), 1.0, jnp.float32) * final[1].astype(jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "cols", "interpret"))
+def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, capt, planes,
+                     n_blocks: int, cols: int, interpret: bool = False):
+    plane = lambda: pl.BlockSpec(
+        (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n_blocks * LANES, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks * LANES, LANES), jnp.float32),
+    ]
+    return pl.pallas_call(
+        _make_kernel(cols),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # nodebox
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # childs
+            pl.BlockSpec(memory_space=pl.ANY),              # fat blocks: HBM
+            pl.BlockSpec((BLOCK_RAYS, KDIM), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),          # ray features
+            pl.BlockSpec((NCHUNK, LANES, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # exact caps
+        ] + [plane()] * 7,
+        out_specs=[
+            pl.BlockSpec((LANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((NBUF, NMASKW + 2), jnp.int32),     # bits + lo/hi
+            pltpu.VMEM((NCHUNK, LANES, cols), jnp.float32),
+            pltpu.VMEM((NCHUNK, LANES, cols), jnp.float32),
+            pltpu.VMEM((NBUF, KDIM, GROUPS * cols), jnp.bfloat16),
+            pltpu.VMEM((KDIM, GROUPS * cols), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+        interpret=interpret,
+    )(nodebox, childs, leafblocks, rayfeat, capt,
+      planes["ox"], planes["oy"], planes["oz"],
+      planes["dx"], planes["dy"], planes["dz"], planes["tm"])
+
+
+def build_rayfeat(origin, direction, ctr):
+    """[n, KDIM] NATIVE-bf16 ray features: the 16 base features (center-
+    shifted for conditioning, see module docstring) as [hi | lo | hi]
+    bf16 splits, rounded rtne HERE (not by Mosaic's opaque f32 operand
+    handling).  Exact per-ray caps travel separately (``capt``)."""
+    osh = origin - ctr[None, :]
+    m = jnp.cross(osh, direction)
+    n = origin.shape[0]
+    feat = jnp.concatenate([
+        direction, m, osh, jnp.ones((n, 1), jnp.float32),
+        jnp.zeros((n, 6), jnp.float32),
+    ], axis=1)                                             # [n, 16]
+    hi = feat.astype(jnp.bfloat16)
+    lo = (feat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo, hi], axis=1)           # [n, 48] bf16
+
+
+def intersect_stream2(origin, direction, packed, active=None, sort=False,
+                      t_max=None, interpret=False, any_hit=False):
+    """Closest hit via the MXU streaming kernel; same contract as
+    intersect_bvh.  ``any_hit`` is accepted for interface parity: the
+    capped-t semantics make the closest-under-cap answer a valid any-hit
+    answer (the kernel has no early-out to exploit it)."""
+    if sort and "lo" in packed:
+        key = _morton_key(origin, direction, packed["lo"], packed["hi"],
+                          active=active)
+        order = jnp.argsort(key)
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype)
+        )
+        i, t, u, v = intersect_stream2(
+            origin[order], direction[order], packed,
+            active=None if active is None else active[order], sort=False,
+            t_max=None if t_max is None else t_max[order],
+            interpret=interpret, any_hit=any_hit,
+        )
+        return i[inv], t[inv], u[inv], v[inv]
+
+    n = origin.shape[0]
+    n_pad = max(BLOCK_RAYS, ((n + BLOCK_RAYS - 1) // BLOCK_RAYS) * BLOCK_RAYS)
+    n_blocks = n_pad // BLOCK_RAYS
+    cap = MAX_BLOCKS_PER_CALL
+    n_super = 1
+    if n_blocks > cap:
+        n_super = (n_blocks + cap - 1) // cap
+        n_blocks = n_super * cap
+        n_pad = n_blocks * BLOCK_RAYS
+
+    act = (jnp.ones((n,), bool) if active is None else active)
+    tm = jnp.full((n,), INF) if t_max is None else t_max
+    # inactive rays carry cap -1: nothing beats it in the drain, and the
+    # node phase's slab test can't open any interval under it.  The cap
+    # rides in rayfeat column 10, which the drain matmul CONTRACTS over —
+    # an infinite cap would turn every product into inf * 0 = NaN, so it
+    # is clamped to a finite sentinel (far beyond any scene t).
+    tmp = jnp.where(act, jnp.minimum(tm, 1e30), -1.0)
+
+    def plane(x, fill):
+        flat = jnp.full((n_pad,), fill, dtype=jnp.float32).at[:n].set(x)
+        return flat.reshape(n_blocks * RAY_ROWS, LANES)
+
+    planes = dict(
+        ox=plane(origin[:, 0], 0.0), oy=plane(origin[:, 1], 0.0),
+        oz=plane(origin[:, 2], 0.0),
+        dx=plane(direction[:, 0], 1.0), dy=plane(direction[:, 1], 0.0),
+        dz=plane(direction[:, 2], 0.0),
+        tm=plane(tmp, -1.0),
+    )
+
+    rayfeat = jnp.zeros((n_pad, KDIM), jnp.bfloat16).at[:n].set(
+        build_rayfeat(origin, direction, packed["ctr"])
+    )
+    # exact per-ray caps, pre-transposed to the kernel's chunk-major
+    # layout [packet*chunk, ray-in-chunk, 1]; padded rays carry -1 so
+    # nothing can ever beat their accumulator
+    capt = jnp.full((n_pad,), -1.0, jnp.float32).at[:n].set(tmp)
+    capt = capt.reshape(n_blocks * NCHUNK, LANES)[..., None]
+
+    cols = packed["leafblocks"].shape[2] // GROUPS
+
+    def run(rf, ct, pls, blocks_count):
+        return _traverse_blocks(
+            packed["nodebox"], packed["childs"], packed["leafblocks"],
+            rf, ct, pls, blocks_count, cols, interpret=interpret,
+        )
+
+    if n_super > 1:
+        rf_st = rayfeat.reshape(n_super, cap * BLOCK_RAYS, KDIM)
+        ct_st = capt.reshape(n_super, cap * NCHUNK, LANES, 1)
+        pl_st = {k: v.reshape(n_super, cap * RAY_ROWS, LANES)
+                 for k, v in planes.items()}
+        outs = jax.lax.map(
+            lambda args: run(args[0], args[1], args[2], cap),
+            (rf_st, ct_st, pl_st),
+        )
+        t_pk, code_pk = (o.reshape(n_blocks * LANES, LANES) for o in outs)
+    else:
+        t_pk, code_pk = run(rayfeat, capt, planes, n_blocks)
+
+    # unscramble: packet p's chunk c, in-chunk ray r sits at out row
+    # p*128 + r, lane c; flat index = p*BLOCK_RAYS + c*128 + r
+    t_pk = t_pk.reshape(n_blocks, LANES, LANES)[:, :, :NCHUNK]
+    code_pk = code_pk.reshape(n_blocks, LANES, LANES)[:, :, :NCHUNK]
+    t_flat = jnp.transpose(t_pk, (0, 2, 1)).reshape(n_pad)[:n]
+    code_flat = jnp.transpose(code_pk, (0, 2, 1)).reshape(n_pad)[:n]
+
+    code_i = code_flat.astype(jnp.int32)
+    hit = code_i >= 0
+    tri = jnp.where(
+        hit, jnp.take(packed["slot_tri"], jnp.maximum(code_i, 0)), -1
+    )
+
+    # exact u, v: one scalar Möller-Trumbore on each ray's single winner
+    safe = jnp.maximum(tri, 0)
+    v0 = jnp.take(packed["tri_v0"], safe, axis=0)
+    e1 = jnp.take(packed["tri_e1"], safe, axis=0)
+    e2 = jnp.take(packed["tri_e2"], safe, axis=0)
+    h = jnp.cross(direction, e2)
+    a = jnp.sum(e1 * h, axis=1)
+    f = 1.0 / a
+    s = origin - v0
+    u = f * jnp.sum(s * h, axis=1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(direction * q, axis=1)
+    t_exact = f * jnp.sum(e2 * q, axis=1)
+
+    t_out = jnp.where(hit, t_exact, INF)
+    return (
+        tri.astype(jnp.int32),
+        t_out,
+        jnp.where(hit, u, 0.0),
+        jnp.where(hit, v, 0.0),
+    )
+
+
+def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
+    """FlatBVH -> MXU streaming layout: SMEM top tree (identical to
+    pack_stream) + HBM bilinear-feature fat-leaf blocks [n_fat, 16,
+    4*cols] + slot->triangle table + global triangle arrays for the XLA
+    u,v recovery."""
+    from ..bvh.build import leaf_tables
+
+    if bvh.max_leaf_size > SUB_SLOTS:
+        raise ValueError("pack_stream2 expects a tree built with leaves <= 8")
+    is_leaf = bvh.leaf_id >= 0
+    if is_leaf[0]:
+        raise ValueError("streaming kernel requires an inner root")
+    n_nodes = bvh.n_nodes
+    cols = LANES * blocks_per_leaf
+    max_subleaves = cols // SUB_SLOTS
+
+    cut_mask, _ = _cut_mask(bvh, max_subleaves)
+    cuts = np.nonzero(cut_mask)[0]
+    cut_of = np.full(n_nodes, -1, dtype=np.int64)
+    cut_of[cuts] = np.arange(len(cuts))
+
+    under = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.add.at(under, cuts, 1)
+    np.add.at(under, bvh.miss[cuts], -1)
+    under = np.cumsum(under[:-1]) > 0
+    top = np.nonzero(~is_leaf & ~under)[0]
+    top_ord = np.full(n_nodes, -1, dtype=np.int64)
+    top_ord[top] = np.arange(len(top))
+
+    left = top + 1
+    right = bvh.right_child[top].astype(np.int64)
+
+    def encode(child):
+        return np.where(
+            cut_of[child] >= 0, -(cut_of[child] + 1), top_ord[child]
+        )
+
+    childs = np.stack(
+        [encode(left), encode(right)], axis=1
+    ).astype(np.int32).ravel()
+
+    nodebox = np.zeros((len(top), 12), dtype=np.float32)
+    nodebox[:, 0:3] = bvh.node_mins[left]
+    nodebox[:, 3:6] = bvh.node_maxes[left]
+    nodebox[:, 6:9] = bvh.node_mins[right]
+    nodebox[:, 9:12] = bvh.node_maxes[right]
+    nodebox = nodebox.ravel()
+
+    tables = leaf_tables(bvh, soup) if leaf is None else leaf
+
+    n_fat = len(cuts)
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    fat_ids = np.searchsorted(cuts, leaf_nodes, side="right") - 1
+    if not ((fat_ids >= 0).all()
+            and (leaf_nodes < bvh.miss[cuts[fat_ids]]).all()):
+        raise AssertionError("leaf outside every cut subtree")
+    first_of_fat = np.full(n_fat, len(leaf_nodes), dtype=np.int64)
+    np.minimum.at(first_of_fat, fat_ids, np.arange(len(leaf_nodes)))
+    sub_idx = np.arange(len(leaf_nodes)) - first_of_fat[fat_ids]
+    assert (sub_idx >= 0).all() and (sub_idx < max_subleaves).all()
+
+    lids = bvh.leaf_id[leaf_nodes]
+
+    # dense per-slot triangle attributes [n_fat, cols, 3]
+    def scatter3(vals):                                    # [L, 8, 3]
+        g = np.zeros((n_fat, max_subleaves, SUB_SLOTS, 3), np.float32)
+        g[fat_ids, sub_idx] = vals
+        return g.reshape(n_fat, cols, 3)
+
+    v0 = scatter3(tables["v0"][lids])
+    e1 = scatter3(tables["e1"][lids])
+    e2 = scatter3(tables["e2"][lids])
+    tri_id = np.full((n_fat, max_subleaves, SUB_SLOTS), -1, np.int32)
+    tri_id[fat_ids, sub_idx] = tables["tri_index"][lids]
+    tri_id = tri_id.reshape(n_fat, cols)
+    filled = tri_id >= 0
+
+    ctr = 0.5 * (bvh.node_mins[0] + bvh.node_maxes[0]).astype(np.float32)
+    v0s = np.where(filled[..., None], v0 - ctr, 0.0)
+    e1 = np.where(filled[..., None], e1, 0.0)
+    e2 = np.where(filled[..., None], e2, 0.0)
+    nrm = np.cross(e1, e2)
+
+    # feature rows (see module docstring); empty slots are all-zero ->
+    # a = 0 -> u, v, t = NaN -> masked by the comparisons
+    blocks = np.zeros((n_fat, FEAT, GROUPS * cols), dtype=np.float32)
+    blocks[:, 0:3, 0 * cols:1 * cols] = -np.transpose(nrm, (0, 2, 1))
+    blocks[:, 0:3, 1 * cols:2 * cols] = np.transpose(
+        np.cross(v0s, e2), (0, 2, 1))
+    blocks[:, 3:6, 1 * cols:2 * cols] = np.transpose(e2, (0, 2, 1))
+    blocks[:, 0:3, 2 * cols:3 * cols] = -np.transpose(
+        np.cross(v0s, e1), (0, 2, 1))
+    blocks[:, 3:6, 2 * cols:3 * cols] = -np.transpose(e1, (0, 2, 1))
+    blocks[:, 6:9, 3 * cols:4 * cols] = np.transpose(nrm, (0, 2, 1))
+    blocks[:, 9, 3 * cols:4 * cols] = -np.sum(v0s * nrm, axis=2)
+    # group 4 row 9 (times the ray's constant-1 feature) carries the
+    # fat-BLOCK id — small enough (< 2^16) to survive a 3-pass bf16
+    # matmul exactly; the kernel fold rebuilds slot = fat_id*cols + lane
+    if n_fat >= (1 << 16):
+        raise ValueError("stream2: > 2^16 fat blocks; raise blocks_per_leaf")
+    fat_idv = np.broadcast_to(
+        np.arange(n_fat, dtype=np.float32)[:, None], (n_fat, cols))
+    blocks[:, 9, 4 * cols:5 * cols] = np.where(filled, fat_idv, -1.0)
+
+    # bf16 hi/lo split stacked along the feature axis: [B_hi; B_hi; B_lo]
+    # pairs with the wrapper's [r_hi | r_lo | r_hi] so ONE MXU pass on
+    # native-bf16 operands computes hi*hi + lo*hi + hi*lo (bf16x3).
+    # Stored as ACTUAL bf16: 48 rows x 2 B = 1.5x the f32 16-row bytes,
+    # with the rounding done here (rtne) rather than by Mosaic.
+    import ml_dtypes
+    b_hi = blocks.astype(ml_dtypes.bfloat16)
+    b_lo = (blocks - b_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    blocks = np.concatenate([b_hi, b_hi, b_lo], axis=1)    # [n_fat, 48, G*cols]
+
+    # global triangle arrays for exact u,v recovery (original coords)
+    t_count = int(soup.vertices.shape[0])
+    g_v0 = soup.vertices[:, 0].astype(np.float32)
+    g_e1 = (soup.vertices[:, 1] - soup.vertices[:, 0]).astype(np.float32)
+    g_e2 = (soup.vertices[:, 2] - soup.vertices[:, 0]).astype(np.float32)
+
+    return dict(
+        nodebox=nodebox,
+        childs=childs,
+        leafblocks=blocks,
+        slot_tri=tri_id.reshape(n_fat * cols),
+        tri_v0=g_v0, tri_e1=g_e1, tri_e2=g_e2,
+        ctr=ctr,
+        lo=bvh.node_mins[0].astype(np.float32),
+        hi=bvh.node_maxes[0].astype(np.float32),
+    )
+
+
+def smem_bytes(packed) -> int:
+    return int(packed["nodebox"].size + packed["childs"].size) * 4
+
+
+def hbm_bytes(packed) -> int:
+    return int(packed["leafblocks"].size) * 2              # native bf16

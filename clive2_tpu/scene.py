@@ -290,18 +290,35 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
                 # (each doubling of blocks_per_leaf roughly halves it).
                 # CLIVE2_STREAM_BPL forces a minimum (A/B: fewer, larger
                 # DMAs vs finer top-tree culling).
+                # CLIVE2_STREAM_IMPL=2 selects the MXU bilinear-MT kernel
+                # (ops/traverse_stream2.py); the default remains the VPU
+                # streaming kernel until the stream2 TPU-hardware hit
+                # mismatch (under investigation; interpret mode and the
+                # f32-HIGHEST path are clean) is resolved.
+                impl = os.environ.get("CLIVE2_STREAM_IMPL", "1")
                 bpl_min = int(os.environ.get("CLIVE2_STREAM_BPL", 1))
                 for k_blocks in (1, 2, 4, 8):
                     if (k_blocks >= bpl_min
                             and tstream.smem_bytes_estimate(bvh, k_blocks)
                             <= PALLAS_SMEM_BUDGET):
-                        packed_s = tstream.pack_stream(
-                            bvh, world, leaf=leafs,
-                            blocks_per_leaf=k_blocks,
-                        )
-                        data["stream"] = {
-                            k: dev(v) for k, v in packed_s.items()
-                        }
+                        if impl == "1":
+                            packed_s = tstream.pack_stream(
+                                bvh, world, leaf=leafs,
+                                blocks_per_leaf=k_blocks,
+                            )
+                            data["stream"] = {
+                                k: dev(v) for k, v in packed_s.items()
+                            }
+                        else:
+                            from .ops import traverse_stream2 as tstream2
+
+                            packed_s = tstream2.pack_stream2(
+                                bvh, world, leaf=leafs,
+                                blocks_per_leaf=k_blocks,
+                            )
+                            data["stream2"] = {
+                                k: dev(v) for k, v in packed_s.items()
+                            }
                         break
     return data, bvh, cam_ids
 

