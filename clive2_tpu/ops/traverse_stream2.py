@@ -22,16 +22,19 @@ against the direct formulas):
     v_n = r . [-(v0 x e1), -e1, 0, 0]
     t_n = r . [0, 0, n, -v0.n]            u, v, t = (u_n, v_n, t_n) / a
 
-so one [128 rays, 16] @ [16, 4*128 tris] MXU matmul per ray chunk per
-fat-leaf block performs 65,536 ray-triangle tests' worth of cross/dot
-products, followed by a dozen fully-pipelined elementwise [128, 128] ops.
-Best-hit state lives per (ray, triangle-lane) in VMEM scratch — updates
-are pure elementwise min/select with NO per-block reductions — and is
-folded to one winner per ray ONCE per packet.  The kernel reports (t,
-fat-leaf slot code); the XLA wrapper maps codes to triangle ids and
-re-runs the exact scalar Möller-Trumbore on each ray's single winning
-triangle to recover u, v at reference precision (ray origins and triangle
-bases are center-shifted to keep the bilinear forms well-conditioned).
+so one [128 rays, K] @ [K, 5*cols] MXU matmul per ray chunk per fat-leaf
+block performs 16,384+ ray-triangle tests' worth of cross/dot products,
+followed by a dozen fully-pipelined elementwise [128, 128] ops.  The
+operands carry a bf16x6 residual split stacked along K=96 (one padded
+MXU pass, ~f32 accuracy — see build_rayfeat for why plain bf16x3 let
+near-parallel foreign triangles steal wins).  Best-hit state lives per
+(ray, triangle-lane) in VMEM scratch — updates are pure elementwise
+min/select with NO per-block reductions — and is folded to one winner
+per ray ONCE per packet.  The kernel reports (t, fat-leaf slot code);
+the XLA wrapper maps codes to triangle ids and re-runs the exact scalar
+Möller-Trumbore on each ray's single winning triangle to recover u, v at
+reference precision (ray origins and triangle bases are center-shifted
+to keep the bilinear forms well-conditioned).
 
 Top-tree walk (SMEM) and fat-leaf DMA ring are inherited unchanged from
 traverse_stream.py.  Replaces /root/reference/src/trace.metal:144-176 for
@@ -65,19 +68,13 @@ LANES = 128
 # then discards the block (node phase + DMA cost only); "count" adds one
 # drain counter per packet in out_t row 0 (plus the normal drain work).
 STREAM_DIAG = os.environ.get("CLIVE2_STREAM_DIAG", "")
-# MXU pass count for the drain matmul.  The operands are PRE-SPLIT into
-# a bf16 hi/lo decomposition stacked along K (r' = [r_hi | r_lo | r_hi]
-# against B' = [B_hi; B_hi; B_lo]) and stored as NATIVE bf16 arrays, so
-# ONE pass on exact bf16 operands computes the three bf16x3 products
-# (~2^-17 relative error; the id channel is exact because its ray-side
-# factor is an exact 1.0, and the winner's t/u/v are re-derived in exact
-# f32 by the XLA wrapper).  Native bf16 storage (a) halves the fat-leaf
-# DMA bytes and (b) makes the operand rounding OURS (numpy rtne at pack
-# time): feeding the same split values as f32 operands at DEFAULT
-# precision measurably broke hit selection (21-35% id mismatch — Mosaic's
-# internal f32->bf16 operand handling is not the advertised 1-pass rtne
-# cast), while the identical layout under HIGHEST matched 100%.
-# "highest" remains as an A/B knob (6 passes on the bf16 operands).
+# MXU precision for the drain matmul.  The operands are PRE-SPLIT into a
+# 3-term bf16 residual decomposition stacked along K (bf16x6 — see
+# build_rayfeat) and stored as NATIVE bf16, so ONE DEFAULT pass computes
+# all six dominant cross products at ~f32 accuracy (the id channel is
+# exact because its ray-side factor is the constant 1.0, and the
+# winner's t/u/v are re-derived in exact f32 by the XLA wrapper).
+# "highest" remains as an A/B knob (only meaningful for f32 operands).
 STREAM_PREC = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
@@ -96,7 +93,7 @@ BLOCK_RAYS = RAY_ROWS * LANES          # rays per packet
 NCHUNK = BLOCK_RAYS // LANES           # 128-ray matmul chunks per packet
 NMASKW = (NCHUNK + 15) // 16           # 16-bit chunk-mask words per slot
 FEAT = 16                              # base ray/tri feature rows (10 used)
-KDIM = 48                              # contracted dim: [hi | lo | hi] x FEAT
+KDIM = 96                              # contracted dim: 6 bf16x6 sections
 GROUPS = 5                             # a | u_num | v_num | t_num | code
 SUB_SLOTS = 8                          # triangles per SAH leaf
 INF = float("inf")
@@ -238,8 +235,8 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat, capt,
                 # Only the 10 live feature rows contribute (rows 10-15 of
                 # each 16-row section are zero by construction).
                 acc = jnp.zeros((LANES, GROUPS * cols), jnp.float32)
-                for k in list(range(10)) + list(range(16, 26)) \
-                        + list(range(32, 42)):
+                for k in [s * 16 + j for s in range(KDIM // 16)
+                          for j in range(10)]:
                     acc = acc + (
                         rf[:, k:k + 1].astype(jnp.float32)
                         * feat[k:k + 1, :].astype(jnp.float32)
@@ -449,9 +446,20 @@ def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, capt, planes,
 
 def build_rayfeat(origin, direction, ctr):
     """[n, KDIM] NATIVE-bf16 ray features: the 16 base features (center-
-    shifted for conditioning, see module docstring) as [hi | lo | hi]
-    bf16 splits, rounded rtne HERE (not by Mosaic's opaque f32 operand
-    handling).  Exact per-ray caps travel separately (``capt``)."""
+    shifted for conditioning, see module docstring) as a 3-term bf16
+    residual split r = r1 + r2 + r3, laid out [r1|r2|r3|r1|r2|r1] so one
+    MXU pass against the block's [B1;B1;B1;B2;B2;B3] computes the six
+    dominant bf16x6 cross products (~f32 accuracy; error ~2^-23).
+
+    bf16x3 (hi/lo, K=48) measurably FAILED here: the bilinear MT forms
+    cancel ~500x on adversarial geometry (terms ~|osh||e| vs results
+    ~u*|n|), so its 2^-17 term-relative noise let near-parallel FOREIGN
+    triangles (every drained leaf is tested against the whole packet)
+    spuriously pass the ok-window and steal wins — measured 35% wrong
+    winners / ghost hits on a 200k-sliver scene vs 0% under the 6-pass
+    f32-HIGHEST reference semantics.  K=96 still pads to one 128-deep
+    MXU pass, so the only cost vs bf16x3 is DMA bytes.  Exact per-ray
+    caps travel separately (``capt``)."""
     osh = origin - ctr[None, :]
     m = jnp.cross(osh, direction)
     n = origin.shape[0]
@@ -459,9 +467,11 @@ def build_rayfeat(origin, direction, ctr):
         direction, m, osh, jnp.ones((n, 1), jnp.float32),
         jnp.zeros((n, 6), jnp.float32),
     ], axis=1)                                             # [n, 16]
-    hi = feat.astype(jnp.bfloat16)
-    lo = (feat - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, lo, hi], axis=1)           # [n, 48] bf16
+    r1 = feat.astype(jnp.bfloat16)
+    rem = feat - r1.astype(jnp.float32)
+    r2 = rem.astype(jnp.bfloat16)
+    r3 = (rem - r2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([r1, r2, r3, r1, r2, r1], axis=1)  # [n, 96]
 
 
 def intersect_stream2(origin, direction, packed, active=None, sort=False,
@@ -686,15 +696,18 @@ def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
         np.arange(n_fat, dtype=np.float32)[:, None], (n_fat, cols))
     blocks[:, 9, 4 * cols:5 * cols] = np.where(filled, fat_idv, -1.0)
 
-    # bf16 hi/lo split stacked along the feature axis: [B_hi; B_hi; B_lo]
-    # pairs with the wrapper's [r_hi | r_lo | r_hi] so ONE MXU pass on
-    # native-bf16 operands computes hi*hi + lo*hi + hi*lo (bf16x3).
-    # Stored as ACTUAL bf16: 48 rows x 2 B = 1.5x the f32 16-row bytes,
-    # with the rounding done here (rtne) rather than by Mosaic.
+    # bf16x6 residual split stacked along the feature axis:
+    # [B1; B1; B1; B2; B2; B3] pairs with the wrapper's
+    # [r1 | r2 | r3 | r1 | r2 | r1] so ONE MXU pass on native-bf16
+    # operands computes the six dominant cross products (~f32 accuracy —
+    # see build_rayfeat for why bf16x3 was insufficient).  96 bf16 rows =
+    # 3x the v1 kernel's 16-f32-row bytes per column.
     import ml_dtypes
-    b_hi = blocks.astype(ml_dtypes.bfloat16)
-    b_lo = (blocks - b_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    blocks = np.concatenate([b_hi, b_hi, b_lo], axis=1)    # [n_fat, 48, G*cols]
+    b1 = blocks.astype(ml_dtypes.bfloat16)
+    rem = blocks - b1.astype(np.float32)
+    b2 = rem.astype(ml_dtypes.bfloat16)
+    b3 = (rem - b2.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    blocks = np.concatenate([b1, b1, b1, b2, b2, b3], axis=1)  # [nf, 96, G*c]
 
     # global triangle arrays for exact u,v recovery (original coords)
     t_count = int(soup.vertices.shape[0])
