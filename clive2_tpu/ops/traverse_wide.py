@@ -17,8 +17,14 @@ around whole-tile vector loads:
     leaf block (slot c = child c), so the whole leaf phase of a node does
     a single aligned load — no per-leaf roll — and per-slot Möller-
     Trumbore runs under a pl.when only for hit slots.
-  * Best-hit state accumulates in the output refs; the traversal loop
-    carries only the scalar stack pointer.
+  * Best-hit state (t, i, u, v — four [8, 128] tiles) rides in the
+    while_loop CARRY, i.e. in vector registers, and the output refs are
+    written once after the loop.  The previous formulation accumulated
+    into the refs with four masked [1, 128] read-modify-writes per
+    (leaf-child, ray-group) — the same serialized VMEM-RMW latency chain
+    that cost the v1 streaming drain ~10x (see traverse_stream.py drain
+    notes); with ~6 leaf visits per node and 8 groups each, those stalls
+    dominated the dragon-scale leaf phase.
 
 SMEM cost collapses to ~36 B per wide node (~0.6 B/triangle), so the
 scene ceiling moves from SMEM to the VMEM leaf table (~64 B/triangle).
@@ -76,6 +82,7 @@ def _kernel(any_hit, wideboxes, childs, lblocks, leaff,
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     active = act[:] > 0.0
+    rowsel = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
 
     out_t[:] = tm[:]
     out_i[:] = jnp.full((SUBLANES, LANES), -1, dtype=jnp.int32)
@@ -86,9 +93,15 @@ def _kernel(any_hit, wideboxes, childs, lblocks, leaff,
         return jnp.broadcast_to(a[g:g + 1, :], (SUBLANES, LANES))
 
     def leaf_slot_mt(tile, masks_c):
-        """MT of one 8-tri leaf tile against the whole packet, accumulating
-        into the output refs.  tile: [8 tris, 16 attrs]; masks_c[g]: [1,128]
-        box-hit mask of this child for ray-group g."""
+        """MT of one 8-tri leaf tile against the whole packet.  The
+        best-hit state reads the output refs ONCE ([8, 128] tiles), folds
+        all 8 ray-groups in registers, and writes back ONCE — the
+        previous per-group [1, 128] read-modify-writes serialized ~64
+        VMEM round-trips per node on the leaf phase's critical path.
+        tile: [8 tris, 16 attrs]; masks_c[g]: [1, 128] box-hit mask of
+        this child for ray-group g."""
+        bt, bi, bu, bv = out_t[:], out_i[:], out_u[:], out_v[:]
+
         def col(k):
             return jnp.broadcast_to(tile[:, k:k + 1], (SUBLANES, LANES))
 
@@ -101,7 +114,7 @@ def _kernel(any_hit, wideboxes, childs, lblocks, leaff,
             rox, roy, roz = row(o_x, g), row(o_y, g), row(o_z, g)
             rdx, rdy, rdz = row(d_x, g), row(d_y, g), row(d_z, g)
             rhit = jnp.broadcast_to(masks_c[g], (SUBLANES, LANES))
-            rbt_row = out_t[g:g + 1, :]
+            rbt_row = bt[g:g + 1, :]
             rbt = jnp.broadcast_to(rbt_row, (SUBLANES, LANES))
 
             hx = rdy * e2z - rdz * e2y
@@ -133,11 +146,16 @@ def _kernel(any_hit, wideboxes, childs, lblocks, leaff,
             sel_i = pick(tri_f)
             sel_u = pick(jnp.where(is_best, u, 0.0))
             sel_v = pick(jnp.where(is_best, v, 0.0))
-            out_t[g:g + 1, :] = jnp.where(found, tmin, rbt_row)
-            out_i[g:g + 1, :] = jnp.where(
-                found, sel_i.astype(jnp.int32), out_i[g:g + 1, :])
-            out_u[g:g + 1, :] = jnp.where(found, sel_u, out_u[g:g + 1, :])
-            out_v[g:g + 1, :] = jnp.where(found, sel_v, out_v[g:g + 1, :])
+            upd = (rowsel == g) & jnp.broadcast_to(found, (SUBLANES, LANES))
+            bc = lambda r: jnp.broadcast_to(r, (SUBLANES, LANES))
+            bt = jnp.where(upd, bc(tmin), bt)
+            bi = jnp.where(upd, bc(sel_i.astype(jnp.int32)), bi)
+            bu = jnp.where(upd, bc(sel_u), bu)
+            bv = jnp.where(upd, bc(sel_v), bv)
+        out_t[:] = bt
+        out_i[:] = bi
+        out_u[:] = bu
+        out_v[:] = bv
 
     stack[0] = 0
 
