@@ -1,0 +1,124 @@
+"""Consolidated TPU validation + microbench for the round-3 kernel work.
+
+Runs, in one process (one chip claim):
+  1. stream2 bf16x6 correctness on the adversarial 200k-sliver scene
+     (coherent + incoherent) vs the gather-walk oracle.
+  2. stream2 throughput (coherent / incoherent, 1M rays).
+  3. wide-kernel correctness + throughput on a 47k-tri dragon-scale
+     scene (the register-fold leaf phase).
+
+Usage: python scripts/val_tpu_round3.py [stream2|wide|all]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+import jax
+import jax.numpy as jnp
+
+from clive2_tpu.bvh.build import build_bvh, leaf_tables
+from clive2_tpu.geometry import TriangleSoup
+from clive2_tpu.ops.intersect import intersect_bvh_packed, pack_gather_walk
+
+WHICH = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+
+def cluster_scene(n_tris, seed=0):
+    rng = np.random.default_rng(seed)
+    n_clusters = max(1, n_tris // 200)
+    cc = rng.uniform(-4, 4, (n_clusters, 1, 1, 3))
+    tris = (cc + rng.uniform(-0.8, 0.8, (n_clusters, 200, 1, 3))
+            + rng.uniform(-0.05, 0.05, (n_clusters, 200, 3, 3)))
+    tris = tris.reshape(-1, 3, 3)[:n_tris].astype(np.float32)
+    return TriangleSoup.from_vertices(tris)
+
+
+def rays(n, coherent, seed=1):
+    rng = np.random.default_rng(seed)
+    if coherent:
+        o = np.tile(np.array([[0.0, 0.0, 12.0]], np.float32), (n, 1))
+        px = rng.uniform(-5, 5, (n, 2)).astype(np.float32)
+        tgt = np.stack([px[:, 0], px[:, 1], np.zeros(n, np.float32)], 1)
+        d = tgt - o
+    else:
+        o = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return o, d
+
+
+def sync(x):
+    return float(np.asarray(x)[0])
+
+
+def check(name, fn, packed, ga, nv=32768):
+    for cname, coh in (("coherent", True), ("incoherent", False)):
+        o, d = rays(nv, coh)
+        ov, dv = jnp.asarray(o), jnp.asarray(d)
+        t0 = time.time()
+        gi, gt, gu, gv = (np.asarray(x) for x in fn(ov, dv, packed))
+        dt = time.time() - t0
+        wi, wt, wu, wv = (np.asarray(x) for x in
+                          intersect_bvh_packed(ov, dv, ga))
+        m = (gi == wi).mean()
+        same = (gi == wi) & (wi >= 0)
+        terr = np.abs(gt[same] - wt[same]).max() if same.any() else 0.0
+        print(f"{name} {cname}: id match {m*100:.2f}%  hitrate "
+              f"{(gi>=0).mean():.3f}/{(wi>=0).mean():.3f}  max|dt| "
+              f"{terr:.2e}  (first call {dt:.0f}s)", flush=True)
+
+
+def bench(name, fn, packed, n=1_000_000):
+    for cname, coh in (("coherent", True), ("incoherent", False)):
+        o, d = rays(n, coh)
+        ov, dv = jnp.asarray(o), jnp.asarray(d)
+        r = fn(ov, dv, packed)
+        sync(r[1][:1])
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            r = fn(ov, dv, packed)
+            sync(r[1][:1])
+            best = min(best, time.time() - t0)
+        print(f"{name} {cname}: {best*1e3:7.1f} ms -> "
+              f"{n/best/1e6:6.2f} Mrays/s", flush=True)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+
+    if WHICH in ("stream2", "all"):
+        from clive2_tpu.ops import traverse_stream2 as ts2
+
+        soup = cluster_scene(200_000)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v)
+                  for k, v in ts2.pack_stream2(bvh, soup).items()}
+        print(f"stream2 fat blocks {packed['leafblocks'].shape} "
+              f"{packed['leafblocks'].size*2/1e6:.0f} MB bf16", flush=True)
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        fn = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
+            o, d, pk, sort=True))
+        check("stream2", fn, packed, ga)
+        bench("stream2", fn, packed)
+
+    if WHICH in ("wide", "all"):
+        from clive2_tpu.ops import traverse_wide as tw
+
+        soup = cluster_scene(47_000, seed=3)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v)
+                  for k, v in tw.pack_bvh8(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        fn = jax.jit(lambda o, d, pk: tw.intersect_wide(o, d, pk))
+        check("wide", fn, packed, ga)
+        bench("wide", fn, packed)
+
+
+if __name__ == "__main__":
+    main()
