@@ -103,11 +103,18 @@ def _make_kernel(n_fat_cols: int):
     return functools.partial(_kernel, n_fat_cols)
 
 
-def _kernel(cols, nodebox, childs, leafblocks, rayfeat, capt,
+def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
             ox, oy, oz, dx, dy, dz, tm,
             out_t, out_code,
             stack, qmask, acc_t, acc_c, blocks, staged, sem):
-    """cols = triangles per fat leaf (128 * blocks_per_leaf)."""
+    """cols = triangles per fat leaf (128 * blocks_per_leaf).
+
+    Orientation: RAYS LIVE IN LANES THROUGHOUT.  The drain matmul is
+    [5*cols tri-rows, K] @ [K, 128 rays] so its output, the per-chunk
+    accumulators ([cols, 128]), the fold (a sublane min-reduce straight
+    to a [1, 128] row), the output planes, and the ox..tm input planes
+    (row c = chunk c's 128 rays) all share one layout — no transposed
+    cap sidecar, no iota-select fold block, no XLA-side unscramble."""
     tiny = jnp.float32(1e-30)
 
     def inv(d):
@@ -120,17 +127,14 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat, capt,
 
     # per-packet accumulator init: best-t starts at the caller's cap
     # (inactive rays carry -1 so nothing can ever beat it), code -1.
-    # The caps ride in ``capt`` [NCHUNK, LANES, 1] — the transposed
-    # layout of the ``tm`` plane, precomputed by the XLA wrapper so chunk
-    # c's per-ray caps are one [128, 1] f32 column indexed on dim 0 (bf16
-    # rayfeat cannot carry an exact cap, and Mosaic forbids dynamic lane
-    # offsets).  Chunk loops are lax.fori_loops, NOT Python-unrolled: at
-    # NCHUNK=32 an unrolled drain multiplied the Mosaic program ~32x and
-    # pushed remote compiles to ~8 minutes.
+    # Chunk c's caps are row c of the tm plane.  Chunk loops are
+    # lax.fori_loops, NOT Python-unrolled: at NCHUNK=32 an unrolled drain
+    # multiplied the Mosaic program ~32x and pushed remote compiles to
+    # ~8 minutes.
     def init_chunk(c, _):
-        tm_col = capt[c]                                     # [128, 1]
-        acc_t[c] = jnp.broadcast_to(tm_col, (LANES, cols))
-        acc_c[c] = jnp.full((LANES, cols), -1.0, dtype=jnp.float32)
+        tm_row = tm[pl.ds(c, 1), :]                          # [1, 128]
+        acc_t[c] = jnp.broadcast_to(tm_row, (cols, LANES))
+        acc_c[c] = jnp.full((cols, LANES), -1.0, dtype=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, NCHUNK, init_chunk, 0)
@@ -202,9 +206,9 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat, capt,
             return
         if STREAM_STAGE:
             staged[:, :] = blocks[slot]
-            feat = staged[:, :]                            # [KDIM, 5*cols]
+            feat = staged[:, :]                            # [5*cols, KDIM]
         else:
-            feat = blocks[slot]                            # [KDIM, 5*cols]
+            feat = blocks[slot]                            # [5*cols, KDIM]
 
         def drain_chunk(c, _):
             live = (qmask[slot, c >> 4] >> (c & 15)) & 1
@@ -219,37 +223,36 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat, capt,
         span_hi = qmask[slot, NMASKW + 1]
 
         def _drain_one(c, feat):
-            rf = rayfeat[pl.ds(c * LANES, LANES), :]       # [128, KDIM]
+            rf = rayfeat[:, pl.ds(c * LANES, LANES)]       # [KDIM, 128]
             # ONE matmul per chunk covers all five output groups (the
-            # block's 5*cols columns are contiguous), amortizing the
-            # MXU's fixed per-dot latency.  Precision comes from the
-            # operand layout, not the pass count: both sides carry a
-            # bf16 hi/lo split stacked along K (see STREAM_PREC note at
-            # the top), so this single DEFAULT pass reproduces bf16x3
-            # accuracy.  Group 4 carries the fat-BLOCK id (exact — its
+            # block's 5*cols rows are contiguous), amortizing the MXU's
+            # fixed per-dot latency.  Precision comes from the operand
+            # layout, not the pass count: both sides carry the bf16x6
+            # residual split stacked along K (see STREAM_PREC note at
+            # the top).  Group 4 carries the fat-BLOCK id (exact — its
             # ray-side factor is the constant 1.0); the global slot is
             # reconstructed in the fold, and the winner's t/u/v are
             # re-derived exactly by the XLA wrapper.
             if STREAM_MM == "outer":
                 # VPU outer-product sum: identical math, no tpu.matmul.
-                # Only the 10 live feature rows contribute (rows 10-15 of
-                # each 16-row section are zero by construction).
-                acc = jnp.zeros((LANES, GROUPS * cols), jnp.float32)
+                # Only the 10 live feature columns contribute (cols 10-15
+                # of each 16-col section are zero by construction).
+                acc = jnp.zeros((GROUPS * cols, LANES), jnp.float32)
                 for k in [s * 16 + j for s in range(KDIM // 16)
                           for j in range(10)]:
                     acc = acc + (
-                        rf[:, k:k + 1].astype(jnp.float32)
-                        * feat[k:k + 1, :].astype(jnp.float32)
+                        feat[:, k:k + 1].astype(jnp.float32)
+                        * rf[k:k + 1, :].astype(jnp.float32)
                     )
                 prod = acc
             else:
-                prod = jnp.dot(rf, feat, preferred_element_type=jnp.float32,
+                prod = jnp.dot(feat, rf, preferred_element_type=jnp.float32,
                                precision=STREAM_PREC)
-            a = prod[:, 0 * cols:1 * cols]
-            u_n = prod[:, 1 * cols:2 * cols]
-            v_n = prod[:, 2 * cols:3 * cols]
-            t_n = prod[:, 3 * cols:4 * cols]
-            code = prod[:, 4 * cols:5 * cols]
+            a = prod[0 * cols:1 * cols, :]
+            u_n = prod[1 * cols:2 * cols, :]
+            v_n = prod[2 * cols:3 * cols, :]
+            t_n = prod[3 * cols:4 * cols, :]
+            code = prod[4 * cols:5 * cols, :]
             f = 1.0 / a
             u = u_n * f
             v = v_n * f
@@ -357,58 +360,48 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat, capt,
         (jnp.int32(1), jnp.int32(0), jnp.int32(0)),
     )
 
-    # ---- fold: one winner per ray (the packet's ONLY cross-lane work) ------
-    # acc_c holds the winning fat-BLOCK id per (ray, lane); the global
-    # slot is fat_id * cols + lane, reconstructed here in exact f32 VPU
-    # arithmetic (total slots < 2^24).
-    # int32 iota (tpu.iota cannot emit f32 directly), then widen
-    lane = jax.lax.broadcasted_iota(
-        jnp.int32, (LANES, cols), 1).astype(jnp.float32)
-    # Mosaic cannot store a [128, 1] vector at a DYNAMIC lane offset
-    # (dimension-1 dynamic indices must be 128-aligned), so the fold
-    # accumulates each chunk's column into a [128, 128] register carry
-    # via an iota==c select (pure elementwise) and stores the block ONCE.
-    col = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    # ---- fold: one winner per ray — a SUBLANE min-reduce per chunk ---------
+    # acc_c holds the winning fat-BLOCK id per (tri-slot-row, ray-lane);
+    # the global slot is fat_id * cols + slot_row, reconstructed here in
+    # exact f32 VPU arithmetic (total slots < 2^24).  The [1, 128] result
+    # rows store straight into the plane-layout outputs at dynamic
+    # SUBLANE offset c (dynamic sublane indexing is legal; dynamic LANE
+    # indexing is not — which is what forced the old rays-in-sublanes
+    # orientation through a [128, 128] iota-select carry).
+    srow = jax.lax.broadcasted_iota(
+        jnp.int32, (cols, LANES), 0).astype(jnp.float32)
 
-    def fold_chunk(c, carry):
-        t_blk, c_blk = carry
-        t_c = acc_t[c]
-        t_red = jnp.min(t_c, axis=1, keepdims=True)        # [128, 1]
+    def fold_chunk(c, _):
+        t_c = acc_t[c]                                     # [cols, 128]
+        t_red = jnp.min(t_c, axis=0, keepdims=True)        # [1, 128]
         is_best = (t_c == jnp.broadcast_to(t_red, t_c.shape)) \
             & (acc_c[c] >= 0.0)
         code = jnp.max(
-            jnp.where(is_best, acc_c[c] * cols + lane, -1.0),
-            axis=1, keepdims=True,
+            jnp.where(is_best, acc_c[c] * cols + srow, -1.0),
+            axis=0, keepdims=True,
         )
-        sel = col == c
-        t_blk = jnp.where(sel, jnp.broadcast_to(t_red, t_blk.shape), t_blk)
-        c_blk = jnp.where(sel, jnp.broadcast_to(code, c_blk.shape), c_blk)
-        return t_blk, c_blk
+        out_t[pl.ds(c, 1), :] = t_red
+        out_code[pl.ds(c, 1), :] = code
+        return 0
 
-    t_blk, c_blk = jax.lax.fori_loop(
-        0, NCHUNK, fold_chunk,
-        (jnp.zeros((LANES, LANES), jnp.float32),
-         jnp.full((LANES, LANES), -1.0, jnp.float32)),
-    )
-    out_t[:, :] = t_blk
-    out_code[:, :] = c_blk
+    jax.lax.fori_loop(0, NCHUNK, fold_chunk, 0)
     if STREAM_DIAG == "count":
-        # drain count == final qhead (incremented once per drain); lane
-        # 127 >= NCHUNK so the wrapper's unscramble ignores it — read raw.
-        out_t[0:1, LANES - 1:LANES] = jnp.full(
-            (1, 1), 1.0, jnp.float32) * final[1].astype(jnp.float32)
+        # drain count == final qhead (incremented once per drain);
+        # corrupts ray row 0 of the packet — diag only.
+        out_t[0:1, :] = jnp.full(
+            (1, LANES), 1.0, jnp.float32) * final[1].astype(jnp.float32)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "cols", "interpret"))
-def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, capt, planes,
+def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, planes,
                      n_blocks: int, cols: int, interpret: bool = False):
     plane = lambda: pl.BlockSpec(
         (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_shape = [
-        jax.ShapeDtypeStruct((n_blocks * LANES, LANES), jnp.float32),
-        jax.ShapeDtypeStruct((n_blocks * LANES, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks * RAY_ROWS, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks * RAY_ROWS, LANES), jnp.float32),
     ]
     return pl.pallas_call(
         _make_kernel(cols),
@@ -417,29 +410,22 @@ def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, capt, planes,
             pl.BlockSpec(memory_space=pltpu.SMEM),          # nodebox
             pl.BlockSpec(memory_space=pltpu.SMEM),          # childs
             pl.BlockSpec(memory_space=pl.ANY),              # fat blocks: HBM
-            pl.BlockSpec((BLOCK_RAYS, KDIM), lambda i: (i, 0),
+            pl.BlockSpec((KDIM, BLOCK_RAYS), lambda i: (0, i),
                          memory_space=pltpu.VMEM),          # ray features
-            pl.BlockSpec((NCHUNK, LANES, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),          # exact caps
         ] + [plane()] * 7,
-        out_specs=[
-            pl.BlockSpec((LANES, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((LANES, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[plane(), plane()],
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.SMEM((NBUF, NMASKW + 2), jnp.int32),     # bits + lo/hi
-            pltpu.VMEM((NCHUNK, LANES, cols), jnp.float32),
-            pltpu.VMEM((NCHUNK, LANES, cols), jnp.float32),
-            pltpu.VMEM((NBUF, KDIM, GROUPS * cols), jnp.bfloat16),
-            pltpu.VMEM((KDIM, GROUPS * cols), jnp.bfloat16),
+            pltpu.VMEM((NCHUNK, cols, LANES), jnp.float32),
+            pltpu.VMEM((NCHUNK, cols, LANES), jnp.float32),
+            pltpu.VMEM((NBUF, GROUPS * cols, KDIM), jnp.bfloat16),
+            pltpu.VMEM((GROUPS * cols, KDIM), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
-    )(nodebox, childs, leafblocks, rayfeat, capt,
+    )(nodebox, childs, leafblocks, rayfeat,
       planes["ox"], planes["oy"], planes["oz"],
       planes["dx"], planes["dy"], planes["dz"], planes["tm"])
 
@@ -471,7 +457,8 @@ def build_rayfeat(origin, direction, ctr):
     rem = feat - r1.astype(jnp.float32)
     r2 = rem.astype(jnp.bfloat16)
     r3 = (rem - r2.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([r1, r2, r3, r1, r2, r1], axis=1)  # [n, 96]
+    # transposed (K-major) for the rays-in-lanes drain matmul RHS
+    return jnp.concatenate([r1, r2, r3, r1, r2, r1], axis=1).T  # [96, n]
 
 
 def intersect_stream2(origin, direction, packed, active=None, sort=False,
@@ -508,10 +495,9 @@ def intersect_stream2(origin, direction, packed, active=None, sort=False,
     act = (jnp.ones((n,), bool) if active is None else active)
     tm = jnp.full((n,), INF) if t_max is None else t_max
     # inactive rays carry cap -1: nothing beats it in the drain, and the
-    # node phase's slab test can't open any interval under it.  The cap
-    # rides in rayfeat column 10, which the drain matmul CONTRACTS over —
-    # an infinite cap would turn every product into inf * 0 = NaN, so it
-    # is clamped to a finite sentinel (far beyond any scene t).
+    # node phase's slab test can't open any interval under it.  INF caps
+    # are clamped to a finite sentinel (far beyond any scene t) so drain
+    # arithmetic never sees inf.
     tmp = jnp.where(act, jnp.minimum(tm, 1e30), -1.0)
 
     def plane(x, fill):
@@ -526,42 +512,34 @@ def intersect_stream2(origin, direction, packed, active=None, sort=False,
         tm=plane(tmp, -1.0),
     )
 
-    rayfeat = jnp.zeros((n_pad, KDIM), jnp.bfloat16).at[:n].set(
+    rayfeat = jnp.zeros((KDIM, n_pad), jnp.bfloat16).at[:, :n].set(
         build_rayfeat(origin, direction, packed["ctr"])
     )
-    # exact per-ray caps, pre-transposed to the kernel's chunk-major
-    # layout [packet*chunk, ray-in-chunk, 1]; padded rays carry -1 so
-    # nothing can ever beat their accumulator
-    capt = jnp.full((n_pad,), -1.0, jnp.float32).at[:n].set(tmp)
-    capt = capt.reshape(n_blocks * NCHUNK, LANES)[..., None]
 
-    cols = packed["leafblocks"].shape[2] // GROUPS
+    cols = packed["leafblocks"].shape[1] // GROUPS
 
-    def run(rf, ct, pls, blocks_count):
+    def run(rf, pls, blocks_count):
         return _traverse_blocks(
             packed["nodebox"], packed["childs"], packed["leafblocks"],
-            rf, ct, pls, blocks_count, cols, interpret=interpret,
+            rf, pls, blocks_count, cols, interpret=interpret,
         )
 
     if n_super > 1:
-        rf_st = rayfeat.reshape(n_super, cap * BLOCK_RAYS, KDIM)
-        ct_st = capt.reshape(n_super, cap * NCHUNK, LANES, 1)
+        rf_st = jnp.moveaxis(
+            rayfeat.reshape(KDIM, n_super, cap * BLOCK_RAYS), 1, 0)
         pl_st = {k: v.reshape(n_super, cap * RAY_ROWS, LANES)
                  for k, v in planes.items()}
         outs = jax.lax.map(
-            lambda args: run(args[0], args[1], args[2], cap),
-            (rf_st, ct_st, pl_st),
+            lambda args: run(args[0], args[1], cap), (rf_st, pl_st)
         )
-        t_pk, code_pk = (o.reshape(n_blocks * LANES, LANES) for o in outs)
+        t_pk, code_pk = (
+            o.reshape(n_blocks * RAY_ROWS, LANES) for o in outs)
     else:
-        t_pk, code_pk = run(rayfeat, capt, planes, n_blocks)
+        t_pk, code_pk = run(rayfeat, planes, n_blocks)
 
-    # unscramble: packet p's chunk c, in-chunk ray r sits at out row
-    # p*128 + r, lane c; flat index = p*BLOCK_RAYS + c*128 + r
-    t_pk = t_pk.reshape(n_blocks, LANES, LANES)[:, :, :NCHUNK]
-    code_pk = code_pk.reshape(n_blocks, LANES, LANES)[:, :, :NCHUNK]
-    t_flat = jnp.transpose(t_pk, (0, 2, 1)).reshape(n_pad)[:n]
-    code_flat = jnp.transpose(code_pk, (0, 2, 1)).reshape(n_pad)[:n]
+    # outputs are already in flat plane layout (row c = chunk c's rays)
+    t_flat = t_pk.reshape(n_pad)[:n]
+    code_flat = code_pk.reshape(n_pad)[:n]
 
     code_i = code_flat.astype(jnp.int32)
     hit = code_i >= 0
@@ -594,9 +572,10 @@ def intersect_stream2(origin, direction, packed, active=None, sort=False,
 
 def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
     """FlatBVH -> MXU streaming layout: SMEM top tree (identical to
-    pack_stream) + HBM bilinear-feature fat-leaf blocks [n_fat, 16,
-    4*cols] + slot->triangle table + global triangle arrays for the XLA
-    u,v recovery."""
+    pack_stream) + HBM bilinear-feature fat-leaf blocks
+    [n_fat, GROUPS*cols, KDIM] bf16 (tri-major, bf16x6 K split) +
+    slot->triangle table + global triangle arrays for the XLA u,v
+    recovery."""
     from ..bvh.build import leaf_tables
 
     if bvh.max_leaf_size > SUB_SLOTS:
@@ -696,18 +675,20 @@ def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
         np.arange(n_fat, dtype=np.float32)[:, None], (n_fat, cols))
     blocks[:, 9, 4 * cols:5 * cols] = np.where(filled, fat_idv, -1.0)
 
-    # bf16x6 residual split stacked along the feature axis:
-    # [B1; B1; B1; B2; B2; B3] pairs with the wrapper's
-    # [r1 | r2 | r3 | r1 | r2 | r1] so ONE MXU pass on native-bf16
-    # operands computes the six dominant cross products (~f32 accuracy —
-    # see build_rayfeat for why bf16x3 was insufficient).  96 bf16 rows =
-    # 3x the v1 kernel's 16-f32-row bytes per column.
+    # transpose to tri-major [n_fat, G*cols, FEAT] (the drain matmul LHS
+    # wants triangles in sublanes, K in lanes), then the bf16x6 residual
+    # split stacked along K: [B1|B1|B1|B2|B2|B3] pairs with the ray side's
+    # [r1|r2|r3|r1|r2|r1] so ONE MXU pass on native-bf16 operands computes
+    # the six dominant cross products (~f32 accuracy — see build_rayfeat
+    # for why bf16x3 was insufficient).  96 bf16 K-columns = 3x the v1
+    # kernel's 16-f32-row bytes per triangle slot.
     import ml_dtypes
+    blocks = np.transpose(blocks, (0, 2, 1))               # [nf, G*c, 16]
     b1 = blocks.astype(ml_dtypes.bfloat16)
     rem = blocks - b1.astype(np.float32)
     b2 = rem.astype(ml_dtypes.bfloat16)
     b3 = (rem - b2.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    blocks = np.concatenate([b1, b1, b1, b2, b2, b3], axis=1)  # [nf, 96, G*c]
+    blocks = np.concatenate([b1, b1, b1, b2, b2, b3], axis=2)  # [nf, G*c, 96]
 
     # global triangle arrays for exact u,v recovery (original coords)
     t_count = int(soup.vertices.shape[0])

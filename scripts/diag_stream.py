@@ -86,15 +86,14 @@ def _count_impl2(ts, packed, o, d):
         tm=plane(jnp.full((n_pad,), 1e30, jnp.float32), -1.0),
     )
     feat = ts.build_rayfeat(o, d, packed["ctr"])
-    capt = jnp.full((n_pad,), 1e30, jnp.float32).reshape(
-        n_blocks * ts.NCHUNK, ts.LANES)[..., None]
-    cols = packed["leafblocks"].shape[2] // ts.GROUPS
+    cols = packed["leafblocks"].shape[1] // ts.GROUPS
     t_pk, _ = ts._traverse_blocks(
         packed["nodebox"], packed["childs"], packed["leafblocks"],
-        feat, capt, planes, n_blocks, cols,
+        feat, planes, n_blocks, cols,
     )
-    raw = np.asarray(t_pk).reshape(n_blocks, ts.LANES, ts.LANES)
-    return raw[:, 0, ts.LANES - 1]
+    # diag "count" writes the packet's drain count across ray row 0
+    raw = np.asarray(t_pk).reshape(n_blocks, ts.RAY_ROWS, ts.LANES)
+    return raw[:, 0, 0]
 
 
 def run_one():
