@@ -87,6 +87,13 @@ STREAM_STAGE = int(os.environ.get("CLIVE2_STREAM_STAGE", "0"))
 # K rows (mathematically identical to the dot, no MXU) — the bisection
 # lever that separates a tpu.matmul lowering fault from everything else
 STREAM_MM = os.environ.get("CLIVE2_STREAM_MM", "dot")
+# occlusion-driven culling (default on): each drained chunk refreshes a
+# best-t PLANE (one sublane min-reduce + [1,128] row store), and the node
+# phase's slab tests close intervals beyond each ray's current best —
+# conservative-safe (a node entered at tmin > best cannot win) and
+# exactly what the reference's per-thread `ray.t` early-out does
+# (trace.metal:110, :152).  0 = static caps only (A/B knob).
+STREAM_OCC = int(os.environ.get("CLIVE2_STREAM_OCC", "1"))
 RAY_ROWS = int(os.environ.get("CLIVE2_STREAM_ROWS", 32))
 assert RAY_ROWS % SUBLANES == 0
 BLOCK_RAYS = RAY_ROWS * LANES          # rays per packet
@@ -106,7 +113,7 @@ def _make_kernel(n_fat_cols: int):
 def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
             ox, oy, oz, dx, dy, dz, tm,
             out_t, out_code,
-            stack, qmask, acc_t, acc_c, blocks, staged, sem):
+            stack, qmask, acc_t, acc_c, blocks, staged, btcur, sem):
     """cols = triangles per fat leaf (128 * blocks_per_leaf).
 
     Orientation: RAYS LIVE IN LANES THROUGHOUT.  The drain matmul is
@@ -138,6 +145,10 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
         return 0
 
     jax.lax.fori_loop(0, NCHUNK, init_chunk, 0)
+    btcur[:, :] = tm[:]
+
+    def cap_plane():
+        return btcur[:] if STREAM_OCC else bt0
 
     def box_test(node, base, alive_t):
         off = node * 12 + base
@@ -184,7 +195,7 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
         )
         tmax = jnp.minimum(
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.minimum(jnp.maximum(t0z, t1z), bt0),
+            jnp.minimum(jnp.maximum(t0z, t1z), cap_plane()),
         )
         live = tmin <= tmax
         bit = jnp.where(live, jnp.int32(1) << (rowi & 15), jnp.int32(0))
@@ -262,8 +273,15 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
                 (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
                 & (t > DELTA) & (t < cur_t)
             )
-            acc_t[c] = jnp.where(ok, t, cur_t)
+            new_t = jnp.where(ok, t, cur_t)
+            acc_t[c] = new_t
             acc_c[c] = jnp.where(ok, code, acc_c[c])
+            if STREAM_OCC:
+                # refresh the occlusion plane: this chunk's current best
+                # (NaN-safe: empty slots yield NaN products, masked out
+                # of new_t by the ok-comparisons, so the reduce is clean)
+                btcur[pl.ds(c, 1), :] = jnp.min(new_t, axis=0,
+                                                keepdims=True)
             return 0
 
         jax.lax.fori_loop(span_lo, span_hi + 1, drain_chunk, 0)
@@ -279,8 +297,8 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
             node = stack[sp - 1]
             sp = sp - 1
 
-            near_a = box_test(node, 0, bt0)
-            near_b = box_test(node, 6, bt0)
+            near_a = box_test(node, 0, cap_plane())
+            near_b = box_test(node, 6, cap_plane())
             any_a = near_a < INF
             any_b = near_b < INF
 
@@ -422,6 +440,7 @@ def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, planes,
             pltpu.VMEM((NCHUNK, cols, LANES), jnp.float32),
             pltpu.VMEM((NBUF, GROUPS * cols, KDIM), jnp.bfloat16),
             pltpu.VMEM((GROUPS * cols, KDIM), jnp.bfloat16),
+            pltpu.VMEM((RAY_ROWS, LANES), jnp.float32),    # occlusion plane
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
