@@ -26,6 +26,15 @@ SIZE = 24
 SPP = 4
 
 _RENDER_SNIPPET = """
+import jax
+
+# This image's sitecustomize registers the axon TPU backend via
+# jax.config.update("jax_platforms", ...) at interpreter start, which
+# OVERRIDES the JAX_PLATFORMS env var — so the child must re-pin CPU
+# through the config or it silently claims the real chip (and hangs in
+# the axon client's retry loop whenever the backend is down).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import clive2_tpu as c2
 
