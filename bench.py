@@ -247,12 +247,38 @@ def run_config(cfg: str):
         raise ValueError(f"unknown bench config {cfg!r}")
 
 
+def _tpu_available(probe_timeout=150):
+    """Bounded probe for the axon backend in a subprocess.  When the
+    backend is down, jax backend init hangs in the client's retry loop
+    (it does NOT error), so an unguarded run would burn every config's
+    full budget doing nothing.  A CPU-platform jax is fine (the bench
+    then measures host throughput honestly)."""
+    code = ("import jax; d = jax.devices(); "
+            "print('PLATFORM', d[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=probe_timeout)
+        return r.returncode == 0 and "PLATFORM" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     configs = os.environ.get("BENCH_CONFIGS", DEFAULT_CONFIGS).split(",")
 
     if len(configs) > 1 or not os.environ.get("BENCH_NO_FORK"):
         # each config in its own subprocess: a TPU fault or overrun in one
         # config must not take down the remaining rows
+        if not _tpu_available():
+            for cfg in configs:
+                print(json.dumps({
+                    "metric": cfg.strip(), "value": None, "unit": "error",
+                    "vs_baseline": None,
+                    "error": "jax backend init hung >150s "
+                             "(axon backend down)",
+                }), flush=True)
+            return
         _ensure_assets()
         for cfg in configs:
             cfg = cfg.strip()
