@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-3 TPU work queue: poll the axon backend until it serves a chip,
+# then run the consolidated kernel validation gate (val_tpu_round3.py).
+# One process owns the chip at a time (see deployment notes); this script
+# is the only thing that should touch the TPU while it runs.
+#
+# Usage: bash scripts/tpu_queue.sh [max_poll_minutes]
+set -u
+cd "$(dirname "$0")/.."
+MAXMIN=${1:-360}
+LOG=/tmp/tpu_queue.log
+echo "=== tpu_queue start $(date)" >> "$LOG"
+
+deadline=$(( $(date +%s) + MAXMIN * 60 ))
+while [ "$(date +%s)" -lt "$deadline" ]; do
+  if timeout 120 python -c "
+import jax
+d = jax.devices()
+assert d[0].platform != 'cpu', d
+print('TPU:', d)
+" >> "$LOG" 2>&1; then
+    echo "=== TPU up $(date); running val_tpu_round3" >> "$LOG"
+    timeout 3600 python scripts/val_tpu_round3.py all >> "$LOG" 2>&1
+    rc=$?
+    echo "=== val_tpu_round3 rc=$rc $(date)" >> "$LOG"
+    exit $rc
+  fi
+  echo "--- still down $(date)" >> "$LOG"
+  sleep 150
+done
+echo "=== gave up after ${MAXMIN}m $(date)" >> "$LOG"
+exit 99
