@@ -109,15 +109,20 @@ def main():
     if WHICH in ("wide", "all"):
         from clive2_tpu.ops import traverse_wide as tw
 
-        soup = cluster_scene(47_000, seed=3)
-        bvh = build_bvh(soup)
-        packed = {k: jnp.asarray(v)
-                  for k, v in tw.pack_bvh8(bvh, soup).items()}
-        ga = {k: jnp.asarray(v) for k, v in
-              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
-        fn = jax.jit(lambda o, d, pk: tw.intersect_wide(o, d, pk))
-        check("wide", fn, packed, ga)
-        bench("wide", fn, packed)
+        # 47k = dragon scale; 90k = the new slot-packed window (scenes
+        # that exceed the binary kernel's SMEM but now fit wide's VMEM)
+        for n_tris, tag in ((47_000, "wide47k"), (90_000, "wide90k")):
+            soup = cluster_scene(n_tris, seed=3)
+            bvh = build_bvh(soup)
+            packed_np = tw.pack_bvh8(bvh, soup)
+            print(f"{tag}: vmem {tw.vmem_bytes(packed_np)/2**20:.2f} MB "
+                  f"smem {tw.smem_bytes(packed_np)/1024:.0f} KB", flush=True)
+            packed = {k: jnp.asarray(v) for k, v in packed_np.items()}
+            ga = {k: jnp.asarray(v) for k, v in
+                  pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+            fn = jax.jit(lambda o, d, pk: tw.intersect_wide(o, d, pk))
+            check(tag, fn, packed, ga)
+            bench(tag, fn, packed)
 
 
 if __name__ == "__main__":
