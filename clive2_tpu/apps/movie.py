@@ -38,6 +38,10 @@ def main(argv=None):
                                                "output/.aot-cache"),
                         help="directory for serialized compiled executables "
                         "(pass '' to disable)")
+    parser.add_argument("--display", choices=("auto", "on", "off"),
+                        default="auto",
+                        help="cv2 live window per frame (reference "
+                        "movie.py:41-44); auto = on when cv2 + display exist")
     args = parser.parse_args(argv)
 
     from ..renderer import Renderer
@@ -53,6 +57,9 @@ def main(argv=None):
         args.start_frame + args.frame_offset, args.movie_frames, args.frame_stride
     ))
     base_scene = None
+    from .render import make_display
+    show = make_display(args.display)
+
     for f in frames:
         frame_start = time.time()
         if base_scene is None:
@@ -85,6 +92,8 @@ def main(argv=None):
             renderer.run_sample()
             print(f"Sample {i} time: {time.time() - t0:.3f}")
         renderer.block()
+        if show is not None:
+            show(renderer.image)
         save_png(os.path.join(movie_dir, f"frame_{f:04d}.png"), renderer.image)
         print(f"Frame {f} time: {time.time() - frame_start:.2f}")
 

@@ -3,9 +3,10 @@
 Rebuild of /root/reference/src/render.py with the same flags
 (--samples/--width/--height/--save-on-quit/--scene, render.py:13-19) plus
 checkpointing flags (the reference has no sample-level resume, SURVEY §5).
-cv2 live preview is replaced by optional periodic PNG writes (no display in
-this deployment); output is a timestamped PNG like the reference
-(render.py:47-50).
+The reference's cv2 live preview (render.py:35-37) is kept behind
+``--display`` (auto-detected: needs importable cv2 + a display); headless
+deployments fall back to the periodic PNG writes of ``--preview-every``.
+Output is a timestamped PNG like the reference (render.py:47-50).
 """
 
 from __future__ import annotations
@@ -25,6 +26,37 @@ def save_png(path: str, bgr_u8: np.ndarray):
     Image.fromarray(bgr_u8[:, :, ::-1]).save(path)  # BGR -> RGB
 
 
+def make_display(mode: str):
+    """Return a show(bgr_u8) callable, or None when display is off.
+
+    Parity with /root/reference/src/render.py:35-37 (cv2.imshow each
+    sample, BGR frames).  'auto' enables the window only when cv2 imports
+    AND a display exists; 'on' demands it (raises otherwise).
+    """
+    if mode == "off":
+        return None
+    has_display = bool(os.environ.get("DISPLAY")
+                       or os.environ.get("WAYLAND_DISPLAY")
+                       or os.name == "nt")
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    if cv2 is None or not has_display:
+        if mode == "on":
+            raise RuntimeError(
+                "--display on requires cv2 and a display "
+                f"(cv2={'yes' if cv2 else 'no'}, display="
+                f"{'yes' if has_display else 'no'})")
+        return None
+
+    def show(bgr_u8):
+        cv2.imshow("render", bgr_u8)
+        cv2.waitKey(1)
+
+    return show
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--samples", type=int, default=15)
@@ -36,6 +68,11 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--preview-every", type=int, default=0,
                         help="write a preview PNG every N samples (0 = off)")
+    parser.add_argument("--display", choices=("auto", "on", "off"),
+                        default="auto",
+                        help="cv2 live preview window per sample (reference "
+                        "render.py:35-37); 'auto' = on when cv2 + a display "
+                        "exist, silently off otherwise")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="checkpoint file; resumes if it exists")
     parser.add_argument("--checkpoint-every", type=int, default=0)
@@ -92,6 +129,7 @@ def main(argv=None):
 
     start = time.time()
     preview_path = os.path.join(args.output_dir, "preview.png")
+    show = make_display(args.display)
     try:
         for i in range(renderer.samples, args.samples):
             if args.adaptive_after and i >= args.adaptive_after:
@@ -99,6 +137,8 @@ def main(argv=None):
             else:
                 renderer.run_sample()
             print(f"Sample {i}/{args.samples} completed")
+            if show is not None:
+                show(renderer.image)
             if args.preview_every and (i + 1) % args.preview_every == 0:
                 save_png(preview_path, renderer.image)
             if (
