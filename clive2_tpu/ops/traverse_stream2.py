@@ -25,9 +25,10 @@ against the direct formulas):
 so one [128 rays, K] @ [K, 5*cols] MXU matmul per ray chunk per fat-leaf
 block performs 16,384+ ray-triangle tests' worth of cross/dot products,
 followed by a dozen fully-pipelined elementwise [128, 128] ops.  The
-operands carry a bf16x6 residual split stacked along K=96 (one padded
-MXU pass, ~f32 accuracy — see build_rayfeat for why plain bf16x3 let
-near-parallel foreign triangles steal wins).  Best-hit state lives per
+operands carry a bf16x6 residual split stacked along K=64 (6 sections of
+the 10 live feature columns + 4 zero pad; one padded MXU pass, ~f32
+accuracy — see build_rayfeat for why plain bf16x3 let near-parallel
+foreign triangles steal wins).  Best-hit state lives per
 (ray, triangle-lane) in VMEM scratch — updates are pure elementwise
 min/select with NO per-block reductions — and is folded to one winner
 per ray ONCE per packet.  The kernel reports (t, fat-leaf slot code);
@@ -100,7 +101,16 @@ BLOCK_RAYS = RAY_ROWS * LANES          # rays per packet
 NCHUNK = BLOCK_RAYS // LANES           # 128-ray matmul chunks per packet
 NMASKW = (NCHUNK + 15) // 16           # 16-bit chunk-mask words per slot
 FEAT = 16                              # base ray/tri feature rows (10 used)
-KDIM = 96                              # contracted dim: 6 bf16x6 sections
+LIVE = 10                              # live feature columns per section
+KDIM = 64                              # contracted dim: 6 bf16x6 sections of
+                                       # 10 LIVE columns (60) + 4 zero pad —
+                                       # the dead 6 columns per 16-wide
+                                       # section were pure DMA waste (33% of
+                                       # the fat-leaf bytes; the analytic
+                                       # model in scripts/dma_model.py shows
+                                       # incoherent wavefronts on 1M-tri
+                                       # scenes are HBM-BW-capped, so bytes
+                                       # are throughput)
 GROUPS = 5                             # a | u_num | v_num | t_num | code
 SUB_SLOTS = 8                          # triangles per SAH leaf
 INF = float("inf")
@@ -246,11 +256,10 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
             # re-derived exactly by the XLA wrapper.
             if STREAM_MM == "outer":
                 # VPU outer-product sum: identical math, no tpu.matmul.
-                # Only the 10 live feature columns contribute (cols 10-15
-                # of each 16-col section are zero by construction).
+                # Only the 60 live K-columns contribute (the 4 pad
+                # columns are zero on both sides).
                 acc = jnp.zeros((GROUPS * cols, LANES), jnp.float32)
-                for k in [s * 16 + j for s in range(KDIM // 16)
-                          for j in range(10)]:
+                for k in range(6 * LIVE):
                     acc = acc + (
                         feat[:, k:k + 1].astype(jnp.float32)
                         * rf[k:k + 1, :].astype(jnp.float32)
@@ -450,8 +459,8 @@ def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, planes,
 
 
 def build_rayfeat(origin, direction, ctr):
-    """[n, KDIM] NATIVE-bf16 ray features: the 16 base features (center-
-    shifted for conditioning, see module docstring) as a 3-term bf16
+    """[n, KDIM] NATIVE-bf16 ray features: the 10 live base features
+    (center-shifted for conditioning, see module docstring) as a 3-term bf16
     residual split r = r1 + r2 + r3, laid out [r1|r2|r3|r1|r2|r1] so one
     MXU pass against the block's [B1;B1;B1;B2;B2;B3] computes the six
     dominant bf16x6 cross products (~f32 accuracy; error ~2^-23).
@@ -462,22 +471,24 @@ def build_rayfeat(origin, direction, ctr):
     triangles (every drained leaf is tested against the whole packet)
     spuriously pass the ok-window and steal wins — measured 35% wrong
     winners / ghost hits on a 200k-sliver scene vs 0% under the 6-pass
-    f32-HIGHEST reference semantics.  K=96 still pads to one 128-deep
-    MXU pass, so the only cost vs bf16x3 is DMA bytes.  Exact per-ray
-    caps travel separately (``capt``)."""
+    f32-HIGHEST reference semantics.  K=64 (6 sections of the 10 live
+    columns + pad) still pads to one 128-deep MXU pass, so the only cost
+    vs bf16x3 is DMA bytes.  Exact per-ray caps travel separately
+    (``capt``)."""
     osh = origin - ctr[None, :]
     m = jnp.cross(osh, direction)
     n = origin.shape[0]
     feat = jnp.concatenate([
         direction, m, osh, jnp.ones((n, 1), jnp.float32),
-        jnp.zeros((n, 6), jnp.float32),
-    ], axis=1)                                             # [n, 16]
+    ], axis=1)                                             # [n, LIVE=10]
     r1 = feat.astype(jnp.bfloat16)
     rem = feat - r1.astype(jnp.float32)
     r2 = rem.astype(jnp.bfloat16)
     r3 = (rem - r2.astype(jnp.float32)).astype(jnp.bfloat16)
-    # transposed (K-major) for the rays-in-lanes drain matmul RHS
-    return jnp.concatenate([r1, r2, r3, r1, r2, r1], axis=1).T  # [96, n]
+    # transposed (K-major) for the rays-in-lanes drain matmul RHS;
+    # 6 sections x 10 live columns + 4 zero pad = KDIM
+    out = jnp.concatenate([r1, r2, r3, r1, r2, r1], axis=1)  # [n, 60]
+    return jnp.pad(out, ((0, 0), (0, KDIM - 6 * LIVE))).T    # [KDIM, n]
 
 
 def intersect_stream2(origin, direction, packed, active=None, sort=False,
@@ -694,20 +705,23 @@ def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
         np.arange(n_fat, dtype=np.float32)[:, None], (n_fat, cols))
     blocks[:, 9, 4 * cols:5 * cols] = np.where(filled, fat_idv, -1.0)
 
-    # transpose to tri-major [n_fat, G*cols, FEAT] (the drain matmul LHS
+    # transpose to tri-major [n_fat, G*cols, LIVE] (the drain matmul LHS
     # wants triangles in sublanes, K in lanes), then the bf16x6 residual
     # split stacked along K: [B1|B1|B1|B2|B2|B3] pairs with the ray side's
     # [r1|r2|r3|r1|r2|r1] so ONE MXU pass on native-bf16 operands computes
     # the six dominant cross products (~f32 accuracy — see build_rayfeat
-    # for why bf16x3 was insufficient).  96 bf16 K-columns = 3x the v1
-    # kernel's 16-f32-row bytes per triangle slot.
+    # for why bf16x3 was insufficient).  Only the LIVE=10 feature columns
+    # are stored (60 + 4 zero pad = KDIM bf16 K-columns = 2x the v1
+    # kernel's 16-f32-row bytes per triangle slot; the dead 6 columns per
+    # section were another 50% on top of that — pure DMA waste).
     import ml_dtypes
-    blocks = np.transpose(blocks, (0, 2, 1))               # [nf, G*c, 16]
+    blocks = np.transpose(blocks, (0, 2, 1))[:, :, :LIVE]  # [nf, G*c, 10]
     b1 = blocks.astype(ml_dtypes.bfloat16)
     rem = blocks - b1.astype(np.float32)
     b2 = rem.astype(ml_dtypes.bfloat16)
     b3 = (rem - b2.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    blocks = np.concatenate([b1, b1, b1, b2, b2, b3], axis=2)  # [nf, G*c, 96]
+    blocks = np.concatenate([b1, b1, b1, b2, b2, b3], axis=2)  # [nf, G*c, 60]
+    blocks = np.pad(blocks, ((0, 0), (0, 0), (0, KDIM - 6 * LIVE)))
 
     # global triangle arrays for exact u,v recovery (original coords)
     t_count = int(soup.vertices.shape[0])

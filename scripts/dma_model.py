@@ -1,0 +1,192 @@
+"""Analytic DMA model for the streaming traversal kernels (dev tool).
+
+The big-scene kernels (ops/traverse_stream.py VPU, ops/traverse_stream2.py
+MXU) are bounded by fat-leaf HBM traffic.  This script computes, from an
+exact host-side top-tree walk over real workload rays, the DMA bytes each
+(ROWS, blocks_per_leaf, impl) configuration must move per ray — and the
+HBM-bandwidth-bound throughput ceiling that implies — WITHOUT burning TPU
+time on a knob sweep.
+
+Per ray regime (coherent camera-like / incoherent bounce-like) it reports
+fat-leaf visits per packet as an [upper, lower] band:
+  * upper = slab tests against t_max=inf (no occlusion culling at all)
+  * lower = slab tests against the ray's FINAL best t (perfect culling —
+    what an oracle-ordered traversal with instant best-t refresh achieves)
+The real kernels (front-to-back pops + drain-refreshed best-t planes) land
+between the bounds.
+
+Usage: python scripts/dma_model.py [mesh.ply] [n_rays] [seed]
+Defaults: resources/sponza_scale.ply, 65536 rays.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+MESH = sys.argv[1] if len(sys.argv) > 1 else "resources/sponza_scale.ply"
+N_RAYS = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
+SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+
+HBM_BW = 819e9               # v5e HBM bytes/s (scaling-book figure)
+LANES = 128
+STREAM1_BLOCK = 16 * LANES * 4          # [16, 128*bpl] f32  -> 8 KB * bpl
+STREAM2_BLOCK = 5 * LANES * 64 * 2      # [5*128*bpl, 64] bf16 -> 80 KB * bpl
+
+
+def top_tree(bvh, bpl):
+    """Replicates pack_stream's cut: SMEM top tree + fat-leaf ids."""
+    from clive2_tpu.ops.traverse_stream import SUBTILES, _cut_mask
+
+    is_leaf = bvh.leaf_id >= 0
+    cut_mask, _ = _cut_mask(bvh, SUBTILES * bpl)
+    cuts = np.nonzero(cut_mask)[0]
+    cut_of = np.full(bvh.n_nodes, -1, dtype=np.int64)
+    cut_of[cuts] = np.arange(len(cuts))
+    under = np.zeros(bvh.n_nodes + 1, dtype=np.int64)
+    np.add.at(under, cuts, 1)
+    np.add.at(under, bvh.miss[cuts], -1)
+    under = np.cumsum(under[:-1]) > 0
+    top = np.nonzero(~is_leaf & ~under)[0]
+    top_ord = np.full(bvh.n_nodes, -1, dtype=np.int64)
+    top_ord[top] = np.arange(len(top))
+    left = top + 1
+    right = bvh.right_child[top].astype(np.int64)
+
+    def encode(child):
+        return np.where(cut_of[child] >= 0, -(cut_of[child] + 1),
+                        top_ord[child])
+
+    childs = np.stack([encode(left), encode(right)], 1).astype(np.int64)
+    boxes = np.zeros((len(top), 2, 6), np.float32)
+    boxes[:, 0, 0:3] = bvh.node_mins[left]
+    boxes[:, 0, 3:6] = bvh.node_maxes[left]
+    boxes[:, 1, 0:3] = bvh.node_mins[right]
+    boxes[:, 1, 3:6] = bvh.node_maxes[right]
+    return childs, boxes, len(cuts)
+
+
+def walk_visits(o, d, t_max, childs, boxes, depth=160):
+    """Exact per-ray fat-leaf visit lists from a vectorized stack walk."""
+    n = len(o)
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1e-30, d), 1e30)
+    stack = np.zeros((n, depth), np.int64)
+    sp = np.ones(n, np.int64)            # root (top node 0) pre-pushed
+    vis_r, vis_f = [], []
+    while True:
+        act = np.nonzero(sp > 0)[0]
+        if not len(act):
+            break
+        sp[act] -= 1
+        node = stack[act, sp[act]]
+        for side in (0, 1):
+            bx = boxes[node, side]
+            t0 = (bx[:, 0:3] - o[act]) * inv[act]
+            t1 = (bx[:, 3:6] - o[act]) * inv[act]
+            tn = np.minimum(t0, t1).max(1)
+            tf = np.maximum(t0, t1).min(1)
+            hit = (tn <= tf) & (tf >= 0) & (tn <= t_max[act])
+            ch = childs[node, side]
+            fat = ch < 0
+            rec = hit & fat
+            if rec.any():
+                vis_r.append(act[rec])
+                vis_f.append(-(ch[rec] + 1))
+            push = hit & ~fat
+            if push.any():
+                idx = act[push]
+                stack[idx, sp[idx]] = ch[push]
+                sp[idx] += 1
+                if (sp[idx] >= depth).any():
+                    raise RuntimeError("stack overflow in host walk")
+    return (np.concatenate(vis_r) if vis_r else np.zeros(0, np.int64),
+            np.concatenate(vis_f) if vis_f else np.zeros(0, np.int64))
+
+
+def packet_stats(vis_r, vis_f, order, n_rays, rows):
+    """Unique fat-leaf visits per packet of rows*128 Morton-sorted rays."""
+    rank = np.empty(n_rays, np.int64)
+    rank[order] = np.arange(n_rays)
+    pkt = rank[vis_r] // (rows * LANES)
+    n_pkt = int(np.ceil(n_rays / (rows * LANES)))
+    key = pkt * (vis_f.max() + 1) + vis_f
+    uniq = np.unique(key)
+    visits = len(uniq)
+    return visits, n_pkt
+
+
+def main():
+    import jax.numpy as jnp
+
+    from clive2_tpu.bvh.build import build_bvh, leaf_tables
+    from clive2_tpu.load import load_ply
+    from clive2_tpu.ops.intersect import (intersect_bvh_packed,
+                                          pack_gather_walk)
+    from clive2_tpu.ops.traverse_pallas2 import _morton_key
+
+    rng = np.random.default_rng(SEED)
+    soup = load_ply(MESH)
+    print(f"{MESH}: {len(soup)} tris; building BVH...", flush=True)
+    bvh = build_bvh(soup)
+    leafs = leaf_tables(bvh, soup)
+    ga = {k: jnp.asarray(v) for k, v in pack_gather_walk(bvh, leafs).items()}
+    lo, hi = bvh.node_mins[0], bvh.node_maxes[0]
+    ext = hi - lo
+
+    # --- workloads -------------------------------------------------------
+    def camera_rays(n):
+        eye = (lo + ext * [0.5, 0.5, 2.2]).astype(np.float32)
+        tgt = lo + ext * rng.uniform(0.15, 0.85, (n, 3))
+        o = np.tile(eye, (n, 1)).astype(np.float32)
+        d = (tgt - o).astype(np.float32)
+        return o, d / np.linalg.norm(d, axis=1, keepdims=True)
+
+    def bounce_rays(n):
+        tri = soup.vertices[rng.integers(0, len(soup), n)]
+        b = rng.dirichlet([1, 1, 1], n).astype(np.float32)
+        p = (tri * b[:, :, None]).sum(1)
+        nrm = soup.face_normals[rng.integers(0, len(soup), n)]
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        o = (p + 1e-3 * ext.max() * d).astype(np.float32)
+        return o, d
+
+    for regime, mk in (("coherent", camera_rays), ("incoherent",
+                                                   bounce_rays)):
+        o, d = mk(N_RAYS)
+        wi, wt, _, _ = (np.asarray(x) for x in
+                        intersect_bvh_packed(jnp.asarray(o), jnp.asarray(d),
+                                             ga))
+        best_t = np.where(wi >= 0, wt, np.inf).astype(np.float32)
+        key = np.asarray(_morton_key(jnp.asarray(o), jnp.asarray(d),
+                                     jnp.asarray(lo), jnp.asarray(hi)))
+        order = np.argsort(key)
+        print(f"\n== {regime}: hitrate {(wi >= 0).mean():.3f}")
+        for bpl in (1, 2, 4):
+            childs, boxes, n_fat = top_tree(bvh, bpl)
+            for bound, tcap in (("upper", np.full(N_RAYS, np.inf,
+                                                  np.float32)),
+                                ("lower", best_t)):
+                vr, vf = walk_visits(o, d, tcap, childs, boxes)
+                per_ray = len(vr) / N_RAYS
+                line = (f"bpl={bpl} fats={n_fat:6d} {bound}: "
+                        f"{per_ray:6.2f} visits/ray |")
+                for rows in (8, 16, 32, 48):
+                    visits, n_pkt = packet_stats(vr, vf, order, N_RAYS,
+                                                 rows)
+                    for impl, blk in (("s1", STREAM1_BLOCK),
+                                      ("s2", STREAM2_BLOCK)):
+                        bytes_per_ray = visits * blk * bpl / N_RAYS
+                        mrays = HBM_BW / bytes_per_ray / 1e6
+                        line += (f" R{rows}/{impl}:"
+                                 f"{bytes_per_ray / 1e3:6.1f}kB"
+                                 f"@{mrays:7.1f}M")
+                print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()
