@@ -160,14 +160,24 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
     def cap_plane():
         return btcur[:] if STREAM_OCC else bt0
 
+    def unpack_box(node, base):
+        """6 slab planes from 3 packed SMEM words (see _pack_minmax):
+        min = bitcast(word << 16), max = bitcast(word & 0xffff0000)."""
+        off = node * 6 + (base >> 1)
+        w0, w1, w2 = nodebox[off + 0], nodebox[off + 1], nodebox[off + 2]
+        bc = lambda w: jax.lax.bitcast_convert_type(w, jnp.float32)
+        return (bc(w0 << 16), bc(w1 << 16), bc(w2 << 16),
+                bc(w0 & jnp.int32(-65536)), bc(w1 & jnp.int32(-65536)),
+                bc(w2 & jnp.int32(-65536)))
+
     def box_test(node, base, alive_t):
-        off = node * 12 + base
-        t0x = (nodebox[off + 0] - o_x) * invx
-        t1x = (nodebox[off + 3] - o_x) * invx
-        t0y = (nodebox[off + 1] - o_y) * invy
-        t1y = (nodebox[off + 4] - o_y) * invy
-        t0z = (nodebox[off + 2] - o_z) * invz
-        t1z = (nodebox[off + 5] - o_z) * invz
+        mnx, mny, mnz, mxx, mxy, mxz = unpack_box(node, base)
+        t0x = (mnx - o_x) * invx
+        t1x = (mxx - o_x) * invx
+        t0y = (mny - o_y) * invy
+        t1y = (mxy - o_y) * invy
+        t0z = (mnz - o_z) * invz
+        t1z = (mxz - o_z) * invz
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
@@ -192,13 +202,13 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
     rowi = jax.lax.broadcasted_iota(jnp.int32, (RAY_ROWS, LANES), 0)
 
     def write_masks(node, base, slot):
-        off = node * 12 + base
-        t0x = (nodebox[off + 0] - o_x) * invx
-        t1x = (nodebox[off + 3] - o_x) * invx
-        t0y = (nodebox[off + 1] - o_y) * invy
-        t1y = (nodebox[off + 4] - o_y) * invy
-        t0z = (nodebox[off + 2] - o_z) * invz
-        t1z = (nodebox[off + 5] - o_z) * invz
+        mnx, mny, mnz, mxx, mxy, mxz = unpack_box(node, base)
+        t0x = (mnx - o_x) * invx
+        t1x = (mxx - o_x) * invx
+        t0y = (mny - o_y) * invy
+        t1y = (mxy - o_y) * invy
+        t0z = (mnz - o_z) * invz
+        t1z = (mxz - o_z) * invz
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
@@ -642,12 +652,20 @@ def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
         [encode(left), encode(right)], axis=1
     ).astype(np.int32).ravel()
 
-    nodebox = np.zeros((len(top), 12), dtype=np.float32)
-    nodebox[:, 0:3] = bvh.node_mins[left]
-    nodebox[:, 3:6] = bvh.node_maxes[left]
-    nodebox[:, 6:9] = bvh.node_mins[right]
-    nodebox[:, 9:12] = bvh.node_maxes[right]
-    nodebox = nodebox.ravel()
+    # bf16-packed boxes: one i32 word holds (min, max) of one axis —
+    # min rounded toward -inf, max toward +inf, so the slab test stays
+    # CONSERVATIVE (boxes inflate <= 0.4%, adding only spurious visits,
+    # never losing hits).  56 -> 32 B/node of SMEM: at sponza scale this
+    # is what lets blocks_per_leaf stay 1 under the SMEM budget (the DMA
+    # model says bpl=1 halves the MXU drain bound vs the bpl=2 fallback),
+    # and the node phase does 6 scalar loads per box test instead of 12.
+    nodebox = np.zeros((len(top), 6), dtype=np.uint32)
+    for a in range(3):
+        nodebox[:, 0 + a] = _pack_minmax(bvh.node_mins[left][:, a],
+                                         bvh.node_maxes[left][:, a])
+        nodebox[:, 3 + a] = _pack_minmax(bvh.node_mins[right][:, a],
+                                         bvh.node_maxes[right][:, a])
+    nodebox = nodebox.ravel().view(np.int32)
 
     tables = leaf_tables(bvh, soup) if leaf is None else leaf
 
@@ -739,6 +757,36 @@ def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
         lo=bvh.node_mins[0].astype(np.float32),
         hi=bvh.node_maxes[0].astype(np.float32),
     )
+
+
+def _pack_minmax(mins, maxes):
+    """One uint32 per (min, max) pair: bf16(min) rounded toward -inf in
+    the low half, bf16(max) rounded toward +inf in the high half."""
+    def directed(v, toward_neg):
+        b = np.ascontiguousarray(v.astype(np.float32)).view(np.uint32)
+        trunc = b & np.uint32(0xFFFF0000)
+        inexact = (b & np.uint32(0xFFFF)) != 0
+        neg = (b & np.uint32(0x80000000)) != 0
+        # f32 truncation rounds toward zero; bump one bf16 ulp outward
+        # when inexact on the shrinking side
+        bump = (inexact & (neg if toward_neg else ~neg)).astype(np.uint32)
+        return trunc + (bump << 16)
+
+    return (directed(mins, True) >> 16) | directed(maxes, False)
+
+
+def smem_bytes_estimate(bvh, blocks_per_leaf=1) -> int:
+    """Top-tree SMEM cost of pack_stream2 WITHOUT building the blocks —
+    scene.py probes blocks_per_leaf with this before packing.  32 B/node
+    (6 packed box words + 2 child words) vs pack_stream's 56."""
+    cut_mask, _ = _cut_mask(bvh, (LANES * blocks_per_leaf) // SUB_SLOTS)
+    cuts = np.nonzero(cut_mask)[0]
+    under = np.zeros(bvh.n_nodes + 1, dtype=np.int64)
+    np.add.at(under, cuts, 1)
+    np.add.at(under, bvh.miss[cuts], -1)
+    under = np.cumsum(under[:-1]) > 0
+    n_top = int((~(bvh.leaf_id >= 0) & ~under).sum())
+    return n_top * 8 * 4
 
 
 def smem_bytes(packed) -> int:

@@ -297,9 +297,17 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
                 # f32-HIGHEST path are clean) is resolved.
                 impl = os.environ.get("CLIVE2_STREAM_IMPL", "1")
                 bpl_min = int(os.environ.get("CLIVE2_STREAM_BPL", 1))
+                if impl == "1":
+                    estimate = tstream.smem_bytes_estimate
+                else:
+                    # stream2 bf16-packs its top-tree boxes (32 B/node vs
+                    # 56), which keeps sponza-scale scenes at bpl=1
+                    from .ops import traverse_stream2 as _ts2
+
+                    estimate = _ts2.smem_bytes_estimate
                 for k_blocks in (1, 2, 4, 8):
                     if (k_blocks >= bpl_min
-                            and tstream.smem_bytes_estimate(bvh, k_blocks)
+                            and estimate(bvh, k_blocks)
                             <= PALLAS_SMEM_BUDGET):
                         if impl == "1":
                             packed_s = tstream.pack_stream(

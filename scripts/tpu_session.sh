@@ -1,0 +1,41 @@
+#!/bin/bash
+# Full round-3 TPU hardware session, run once the axon backend serves a
+# chip (see tpu_queue.sh).  Ordered by value-per-chip-minute:
+#   1. val_tpu_round3.py  — stream2 + slot-packed-wide correctness gates
+#                           and microbench (the round's #1 deliverable)
+#   2. stream2 knob sweep — ROWS x OCC (the DMA model, scripts/
+#                           dma_model.py, says ROWS=48/bpl=1 should win;
+#                           each config pays its own Mosaic compile)
+#   3. shade_ab.py        — the EP-analog bound measurement (VERDICT)
+#   4. bench.py           — full default-config record (also warms the
+#                           compile caches for the driver's own run)
+# All output appends to $LOG.  One process owns the chip at a time.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/tpu_session.log}
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+step() {
+  local t=$1; shift
+  echo "=== START $* ($(date))" >> "$LOG"
+  timeout "$t" "$@" >> "$LOG" 2>&1
+  echo "=== rc=$? $* ($(date))" >> "$LOG"
+}
+
+step 3600 python scripts/val_tpu_round3.py all
+
+if grep -q "stream2 coherent: id match 100" "$LOG"; then
+  for rows in 32 48; do
+    for occ in 1 0; do
+      CLIVE2_STREAM_ROWS=$rows CLIVE2_STREAM_OCC=$occ \
+        step 1800 python scripts/val_tpu_round3.py stream2
+    done
+  done
+else
+  echo "=== stream2 correctness gate FAILED; skipping knob sweep" >> "$LOG"
+fi
+
+step 900 python scripts/shade_ab.py
+
+step 2400 python bench.py
+echo "=== SESSION DONE ($(date))" >> "$LOG"
