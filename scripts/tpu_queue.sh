@@ -19,10 +19,10 @@ d = jax.devices()
 assert d[0].platform != 'cpu', d
 print('TPU:', d)
 " >> "$LOG" 2>&1; then
-    echo "=== TPU up $(date); running val_tpu_round3" >> "$LOG"
-    timeout 3600 python scripts/val_tpu_round3.py all >> "$LOG" 2>&1
+    echo "=== TPU up $(date); running tpu_session.sh" >> "$LOG"
+    bash scripts/tpu_session.sh "$LOG"
     rc=$?
-    echo "=== val_tpu_round3 rc=$rc $(date)" >> "$LOG"
+    echo "=== tpu_session rc=$rc $(date)" >> "$LOG"
     exit $rc
   fi
   echo "--- still down $(date)" >> "$LOG"
