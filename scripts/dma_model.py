@@ -107,6 +107,58 @@ def walk_visits(o, d, t_max, childs, boxes, depth=160):
             np.concatenate(vis_f) if vis_f else np.zeros(0, np.int64))
 
 
+def subleaf_boxes(bvh, bpl):
+    """[n_fat, max_subleaves, 6] SAH sub-leaf AABBs per fat leaf (slot
+    order of pack_stream/pack_stream2); empty slots get never-hit boxes."""
+    from clive2_tpu.ops.traverse_stream import SUBTILES, _cut_mask
+
+    max_sub = SUBTILES * bpl
+    cut_mask, _ = _cut_mask(bvh, max_sub)
+    cuts = np.nonzero(cut_mask)[0]
+    is_leaf = bvh.leaf_id >= 0
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    fat_ids = np.searchsorted(cuts, leaf_nodes, side="right") - 1
+    first = np.full(len(cuts), len(leaf_nodes), dtype=np.int64)
+    np.minimum.at(first, fat_ids, np.arange(len(leaf_nodes)))
+    sub_idx = np.arange(len(leaf_nodes)) - first[fat_ids]
+    boxes = np.full((len(cuts), max_sub, 6), np.nan, np.float32)
+    boxes[fat_ids, sub_idx, 0:3] = bvh.node_mins[leaf_nodes]
+    boxes[fat_ids, sub_idx, 3:6] = bvh.node_maxes[leaf_nodes]
+    present = np.zeros((len(cuts), max_sub), bool)
+    present[fat_ids, sub_idx] = True
+    boxes[~present] = 0.0
+    boxes[~present, 0:3] = 1e30      # never hit
+    boxes[~present, 3:6] = -1e30
+    return boxes, present
+
+
+def subleaf_liveness(o, d, t_max, vis_r, vis_f, boxes, present, order,
+                     n_rays, rows):
+    """Mean live sub-leaf fraction per (chunk, fat) and (packet, fat)
+    group — the compute / DMA cut factors a sub-leaf-gated drain could
+    reach."""
+    inv = np.where(d != 0, 1.0 / np.where(d == 0, 1e-30, d), 1e30)
+    bx = boxes[vis_f]                                  # [V, S, 6]
+    ov, iv = o[vis_r][:, None, :], inv[vis_r][:, None, :]
+    t0 = (bx[:, :, 0:3] - ov) * iv
+    t1 = (bx[:, :, 3:6] - ov) * iv
+    tn = np.minimum(t0, t1).max(2)
+    tf = np.maximum(t0, t1).min(2)
+    live = (tn <= tf) & (tf >= 0) & (tn <= t_max[vis_r][:, None])  # [V, S]
+    rank = np.empty(n_rays, np.int64)
+    rank[order] = np.arange(n_rays)
+    out = []
+    for grp_rows in (1, rows):                 # 1 row = chunk, rows = packet
+        gid = (rank[vis_r] // (grp_rows * LANES)) * (vis_f.max() + 1) + vis_f
+        ug, ginv = np.unique(gid, return_inverse=True)
+        glive = np.zeros((len(ug), live.shape[1]), bool)
+        np.logical_or.at(glive, ginv, live)
+        gpres = present[(ug % (vis_f.max() + 1)).astype(np.int64)]
+        frac = glive.sum(1) / np.maximum(gpres.sum(1), 1)
+        out.append(frac.mean())
+    return out                                  # [chunk_frac, packet_frac]
+
+
 def packet_stats(vis_r, vis_f, order, n_rays, rows):
     """Unique fat-leaf visits per packet of rows*128 Morton-sorted rays."""
     rank = np.empty(n_rays, np.int64)
@@ -173,8 +225,25 @@ def main():
                                 ("lower", best_t)):
                 vr, vf = walk_visits(o, d, tcap, childs, boxes)
                 per_ray = len(vr) / N_RAYS
+                # stream2 MXU compute bound: the drain runs one matmul
+                # per LIVE (fat leaf, 128-ray chunk) pair — a quantity
+                # independent of ROWS.  t_chunk ~ 106 ns MXU (2*5*128*
+                # 128*128 flops @ 197 Tflops bf16) + ~50 ns elementwise.
+                rank = np.empty(N_RAYS, np.int64)
+                rank[order] = np.arange(N_RAYS)
+                ck = (rank[vr] // LANES) * (vf.max() + 1) + vf
+                cv = len(np.unique(ck)) / N_RAYS * bpl  # chunks scale w/ bpl
+                mxu_mrays = 1.0 / (cv * 160e-9) / 1e6
+                sub = ""
+                if bpl == 1:
+                    boxes_s, present_s = subleaf_boxes(bvh, bpl)
+                    cf, pf = subleaf_liveness(o, d, tcap, vr, vf, boxes_s,
+                                              present_s, order, N_RAYS, 32)
+                    sub = f" sublive c{cf:.2f}/p{pf:.2f}"
                 line = (f"bpl={bpl} fats={n_fat:6d} {bound}: "
-                        f"{per_ray:6.2f} visits/ray |")
+                        f"{per_ray:6.2f} visits/ray "
+                        f"{cv:6.2f} chunkvisits/ray "
+                        f"mxu@{mxu_mrays:7.1f}M{sub} |")
                 for rows in (8, 16, 32, 48):
                     visits, n_pkt = packet_stats(vr, vf, order, N_RAYS,
                                                  rows)
