@@ -1,0 +1,85 @@
+"""Traversal-path dispatch tests (scene.py:246-336).
+
+The dispatcher only exercises the Pallas branches when _on_tpu() is
+true, so the CPU suite never covered the selection logic (budget math,
+wide fallback, streaming blocks_per_leaf coarsening, impl pick).  These
+tests monkeypatch _on_tpu and shrink the SMEM/VMEM budgets so every
+branch is reachable with a small procedural scene — the selection runs
+for real (packing included); only kernel execution is out of scope here
+(covered by tests/test_pallas_kernels.py in interpret mode).
+"""
+
+import numpy as np
+import pytest
+
+import clive2_tpu.scene as scene_mod
+from clive2_tpu.geometry import TriangleSoup
+from clive2_tpu.scene import create_scene
+
+
+def _blob(n_tris, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-2, 2, (n_tris, 1, 3))
+    tris = centers + rng.uniform(-0.1, 0.1, (n_tris, 3, 3))
+    return TriangleSoup.from_vertices(tris.astype(np.float32))
+
+
+KEYS = ("brute_pallas", "brute", "pallas", "wide", "stream", "stream2")
+
+
+def _selected(scene):
+    return [k for k in KEYS if k in scene.data]
+
+
+def _make(monkeypatch, n_tris, smem=None, vmem=None, env=None):
+    monkeypatch.setattr(scene_mod, "_on_tpu", lambda: True)
+    if smem is not None:
+        monkeypatch.setattr(scene_mod, "PALLAS_SMEM_BUDGET", smem)
+    if vmem is not None:
+        monkeypatch.setattr(scene_mod, "PALLAS_VMEM_BUDGET", vmem)
+    for k, v in (env or {}).items():
+        monkeypatch.setenv(k, v)
+    return create_scene(pixel_width=32, pixel_height=32,
+                        extra_geometry=_blob(n_tris))
+
+
+def test_small_scene_takes_brute_pallas(monkeypatch):
+    s = _make(monkeypatch, 10)
+    assert _selected(s) == ["brute_pallas"]
+
+
+def test_mid_scene_takes_binary_packet_kernel(monkeypatch):
+    s = _make(monkeypatch, 3000)
+    assert _selected(s) == ["pallas"]
+
+
+def test_past_binary_smem_falls_to_wide(monkeypatch):
+    # shrink SMEM so the 3k scene exceeds the binary kernel's budget but
+    # the wide kernel's ~36 B/node cost still fits
+    s = _make(monkeypatch, 3000, smem=24 * 1024)
+    assert _selected(s) == ["wide"]
+
+
+def test_past_wide_vmem_falls_to_stream(monkeypatch):
+    s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=64 * 1024)
+    assert _selected(s) == ["stream"]
+
+
+def test_stream_impl2_env_selects_mxu_kernel(monkeypatch):
+    s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=64 * 1024,
+              env={"CLIVE2_STREAM_IMPL": "2"})
+    assert _selected(s) == ["stream2"]
+
+
+def test_stream_coarsens_blocks_per_leaf_to_fit_smem(monkeypatch):
+    # with a tiny SMEM budget the bpl=1 top tree cannot fit; the
+    # dispatcher must coarsen until it does rather than give up
+    s = _make(monkeypatch, 3000, smem=1024, vmem=64 * 1024)
+    assert _selected(s) == ["stream"]
+    cols = s.data["stream"]["leafblocks"].shape[2]
+    assert cols > 128, f"expected coarsened fat leaves, got cols={cols}"
+
+
+def test_force_env_overrides_dispatch(monkeypatch):
+    s = _make(monkeypatch, 3000, env={"CLIVE2_TRAVERSAL": "wide"})
+    assert _selected(s) == ["wide"]
