@@ -31,6 +31,9 @@ if grep -q "stream2 coherent: id match 100" "$LOG"; then
         step 1800 python scripts/val_tpu_round3.py stream2
     done
   done
+  # deeper DMA ring at the model-preferred config
+  CLIVE2_STREAM_ROWS=48 CLIVE2_STREAM_NBUF=8 \
+    step 1800 python scripts/val_tpu_round3.py stream2
 else
   echo "=== stream2 correctness gate FAILED; skipping knob sweep" >> "$LOG"
 fi
