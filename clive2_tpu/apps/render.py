@@ -109,18 +109,6 @@ def main(argv=None):
 
     renderer = Renderer(scene, seed=args.seed, chunk_rows=args.chunk_rows,
                         aot_cache=args.aot_cache or None)
-    if args.adaptive_after and renderer.chunk_rows is not None:
-        # fail BEFORE any samples are spent: run_adaptive_sample raises on
-        # chunked renderers, and _auto_chunk_rows silently enables chunking
-        # for large streaming scenes — crashing mid-render after the
-        # uniform warmup would waste the warmup work
-        parser.error(
-            f"--adaptive-after cannot be combined with chunked rendering "
-            f"(chunk_rows={renderer.chunk_rows}"
-            + (", auto-enabled for this streaming-path scene size"
-               if args.chunk_rows is None else "")
-            + "); drop --adaptive-after or render a smaller frame"
-        )
     if getattr(renderer, "aot_status", None):
         print(f"aot cache: {renderer.aot_status}")
     if args.checkpoint and os.path.exists(args.checkpoint):

@@ -54,6 +54,19 @@ def _make_step(width: int, height: int, max_bounces: int, mesh):
     return _step
 
 
+def _adaptive_scores(state):
+    """Per-pixel selection score from the accumulated statistics:
+    variance OF THE MEAN, relativized (dark pixels matter less)."""
+    n = state["pixel_count"]
+    # display estimate is weight-normalized; use it where weights exist
+    disp = state["summed_image"].mean(axis=-1) / jnp.maximum(
+        state["summed_weight"], 1e-6
+    )
+    ex2 = state["summed_sq"] / jnp.maximum(n, 1.0)
+    var = jnp.maximum(ex2 - disp * disp, 0.0)
+    return (var / jnp.maximum(n, 1.0) / (disp * disp + 1e-4)).reshape(-1)
+
+
 @functools.lru_cache(maxsize=16)
 def _make_step_adaptive(width: int, height: int, n_select: int,
                         max_bounces: int):
@@ -64,17 +77,7 @@ def _make_step_adaptive(width: int, height: int, n_select: int,
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def _step(key, sample_idx, state, scene_data):
-        n = state["pixel_count"]
-        # display estimate is weight-normalized; use it where weights exist
-        disp = state["summed_image"].mean(axis=-1) / jnp.maximum(
-            state["summed_weight"], 1e-6
-        )
-        ex2 = state["summed_sq"] / jnp.maximum(n, 1.0)
-        var = jnp.maximum(ex2 - disp * disp, 0.0)
-        # variance OF THE MEAN, relativized (dark pixels matter less)
-        score = var / jnp.maximum(n, 1.0) / (disp * disp + 1e-4)
-        score = score.reshape(-1)
-        _, sel = jax.lax.top_k(score, n_select)
+        _, sel = jax.lax.top_k(_adaptive_scores(state), n_select)
         sel = sel.astype(jnp.int32)
 
         sample = render_sample_subset(
@@ -92,6 +95,36 @@ def _make_step_adaptive(width: int, height: int, n_select: int,
         )
 
     return _step
+
+
+@functools.lru_cache(maxsize=16)
+def _make_adaptive_select(width: int, height: int, n_select: int):
+    @jax.jit
+    def _select(state):
+        _, sel = jax.lax.top_k(_adaptive_scores(state), n_select)
+        return sel.astype(jnp.int32)
+
+    return _select
+
+
+@functools.lru_cache(maxsize=32)
+def _make_adaptive_batch(width: int, height: int, batch: int,
+                         max_bounces: int):
+    """One watchdog-safe batch of an adaptive sample on a CHUNKED
+    renderer (adaptive x chunked composition, VERDICT r2 #10): the
+    selected pixel set is rendered in slices sized like the proven-safe
+    row stripes, each its own device program.  The batch index folds
+    into the key so batches draw independent streams."""
+
+    @jax.jit
+    def _run(key, sample_idx, batch_idx, sel_batch, scene_data):
+        k = jax.random.fold_in(
+            jax.random.fold_in(key, sample_idx), batch_idx
+        )
+        return render_sample_subset(k, scene_data, sel_batch,
+                                    width, height, max_bounces)
+
+    return _run
 
 
 @functools.lru_cache(maxsize=16)
@@ -230,15 +263,46 @@ class Renderer:
         statistics).  Run a few uniform warmup samples first so the
         variance estimates exist.  Unbiased: the display normalization is
         weight-based, and the unidirectional image divides by per-pixel
-        counts."""
-        if self.chunk_rows is not None:
-            raise ValueError("adaptive sampling + chunked rendering is "
-                             "not supported (use one or the other)")
+        counts.
+
+        Composes with chunked rendering: on a chunked renderer the
+        selected pixels render in batches of chunk_rows*width (the same
+        program size the stripes proved safe against the device
+        watchdog), accumulated exactly like stripes are."""
         n_select = max(1, int(self.width * self.height * fraction))
-        step = _make_step_adaptive(self.width, self.height, n_select,
-                                   self.max_bounces)
-        self.state = step(self.key, jnp.uint32(self.samples), self.state,
-                          self.scene.data)
+        if self.chunk_rows is None:
+            step = _make_step_adaptive(self.width, self.height, n_select,
+                                       self.max_bounces)
+            self.state = step(self.key, jnp.uint32(self.samples),
+                              self.state, self.scene.data)
+            self.samples += 1
+            return
+
+        batch = self.chunk_rows * self.width
+        sel = _make_adaptive_select(self.width, self.height, n_select)(
+            self.state
+        )
+        outs = None
+        for i, b0 in enumerate(range(0, n_select, batch)):
+            m = min(batch, n_select - b0)
+            run = _make_adaptive_batch(self.width, self.height, m,
+                                       self.max_bounces)
+            sample = run(self.key, jnp.uint32(self.samples),
+                         jnp.uint32(i), sel[b0:b0 + m], self.scene.data)
+            outs = sample if outs is None else jax.tree.map(
+                lambda a, b: a + b, outs, sample)
+        # top_k indices are distinct, so batches touch disjoint pixels and
+        # the summed tree has the same per-pixel stats a single program
+        # would produce
+        self.state = dict(
+            summed_image=self.state["summed_image"] + outs["image"],
+            summed_weight=self.state["summed_weight"] + outs["weight"],
+            summed_unidirectional=self.state["summed_unidirectional"]
+            + outs["unidirectional"],
+            n_samples=self.state["n_samples"] + 1,
+            summed_sq=self.state["summed_sq"] + sample_luma_sq(outs),
+            pixel_count=self.state["pixel_count"] + outs["uni_count"],
+        )
         self.samples += 1
 
     def block(self):
