@@ -5,9 +5,10 @@ The v2 packet kernel (traverse_pallas2.py) keeps every inner node in SMEM
 triangles.  This kernel removes both ceilings with a two-level scheme:
 
   * The SAH tree is CUT at subtrees holding <= 16 leaves (<= 128 triangles).
-    Only the top tree above the cuts lives in SMEM — ~56 B per 128
-    triangles, so ~1.8M triangles fit the 800 KB budget (bf16 boxes would
-    double that again).
+    Only the top tree above the cuts lives in SMEM — 32 B per 128
+    triangles with bf16-packed (min,max) box words (directed rounding,
+    conservative slab test; see _pack_minmax), so ~3M triangles fit the
+    800 KB budget at blocks_per_leaf=1.
   * Each cut subtree becomes a "fat leaf": one [16, 128] f32 block in HBM
     (attribute-major: rows 0-9 = v0/e1/e2/tri per slot, rows 10-15 = the
     slot's sub-leaf AABB).  Slots group 8-by-8 into the cut subtree's
@@ -125,13 +126,17 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
     out_v[:] = jnp.zeros((RAY_ROWS, LANES), dtype=jnp.float32)
 
     def box_test(node, base, bt, alive):
-        off = node * 12 + base
-        t0x = (nodebox[off + 0] - o_x) * invx
-        t1x = (nodebox[off + 3] - o_x) * invx
-        t0y = (nodebox[off + 1] - o_y) * invy
-        t1y = (nodebox[off + 4] - o_y) * invy
-        t0z = (nodebox[off + 2] - o_z) * invz
-        t1z = (nodebox[off + 5] - o_z) * invz
+        # bf16-packed boxes: 3 SMEM words per child box (see _pack_minmax
+        # — min/max pairs with directed rounding, conservative slab test)
+        off = node * 6 + (base >> 1)
+        w0, w1, w2 = nodebox[off + 0], nodebox[off + 1], nodebox[off + 2]
+        bc = lambda w: jax.lax.bitcast_convert_type(w, jnp.float32)
+        t0x = (bc(w0 << 16) - o_x) * invx
+        t1x = (bc(w0 & jnp.int32(-65536)) - o_x) * invx
+        t0y = (bc(w1 << 16) - o_y) * invy
+        t1y = (bc(w1 & jnp.int32(-65536)) - o_y) * invy
+        t0z = (bc(w2 << 16) - o_z) * invz
+        t1z = (bc(w2 & jnp.int32(-65536)) - o_z) * invz
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
@@ -695,11 +700,13 @@ def pack_stream(bvh, soup, leaf=None, blocks_per_leaf=1):
         [encode(left), encode(right)], axis=1
     ).astype(np.int32).ravel()
 
-    nodebox = np.zeros((len(top), 12), dtype=np.float32)
-    nodebox[:, 0:3] = bvh.node_mins[left]
-    nodebox[:, 3:6] = bvh.node_maxes[left]
-    nodebox[:, 6:9] = bvh.node_mins[right]
-    nodebox[:, 9:12] = bvh.node_maxes[right]
+    nodebox = np.zeros((len(top), 6), dtype=np.uint32)
+    for a in range(3):
+        nodebox[:, 0 + a] = _pack_minmax(bvh.node_mins[left][:, a],
+                                         bvh.node_maxes[left][:, a])
+        nodebox[:, 3 + a] = _pack_minmax(bvh.node_mins[right][:, a],
+                                         bvh.node_maxes[right][:, a])
+    nodebox = nodebox.view(np.int32)
     nodebox = nodebox.ravel()
 
     tables = leaf_tables(bvh, soup) if leaf is None else leaf
@@ -773,6 +780,25 @@ def _cut_mask(bvh, max_subleaves):
     return cut_mask, leaves_under
 
 
+def _pack_minmax(mins, maxes):
+    """One uint32 per (min, max) pair: bf16(min) rounded toward -inf in
+    the low half, bf16(max) rounded toward +inf in the high half.  The
+    kernel reconstructs f32 with a shift/mask + bitcast; directed
+    rounding keeps the slab test conservative (<= 0.4% box inflation —
+    spurious visits only, never lost hits)."""
+    def directed(v, toward_neg):
+        b = np.ascontiguousarray(v.astype(np.float32)).view(np.uint32)
+        trunc = b & np.uint32(0xFFFF0000)
+        inexact = (b & np.uint32(0xFFFF)) != 0
+        neg = (b & np.uint32(0x80000000)) != 0
+        # f32 truncation rounds toward zero; bump one bf16 ulp outward
+        # when inexact on the shrinking side
+        bump = (inexact & (neg if toward_neg else ~neg)).astype(np.uint32)
+        return trunc + (bump << 16)
+
+    return (directed(mins, True) >> 16) | directed(maxes, False)
+
+
 def smem_bytes_estimate(bvh, blocks_per_leaf=1) -> int:
     """Top-tree SMEM cost of pack_stream WITHOUT building the blocks —
     scene.py probes blocks_per_leaf with this before packing."""
@@ -783,7 +809,7 @@ def smem_bytes_estimate(bvh, blocks_per_leaf=1) -> int:
     np.add.at(under, bvh.miss[cuts], -1)
     under = np.cumsum(under[:-1]) > 0
     n_top = int((~(bvh.leaf_id >= 0) & ~under).sum())
-    return n_top * 14 * 4                            # 12 box + 2 child words
+    return n_top * 8 * 4               # 6 packed box words + 2 child words
 
 
 def smem_bytes(packed) -> int:

@@ -61,6 +61,8 @@ from .traverse_stream import (
     NBUF,
     STACK_DEPTH,
     _cut_mask,
+    _pack_minmax,
+    smem_bytes_estimate,   # same 32 B/node packed top-tree layout
 )
 
 SUBLANES = 8
@@ -757,36 +759,6 @@ def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
         lo=bvh.node_mins[0].astype(np.float32),
         hi=bvh.node_maxes[0].astype(np.float32),
     )
-
-
-def _pack_minmax(mins, maxes):
-    """One uint32 per (min, max) pair: bf16(min) rounded toward -inf in
-    the low half, bf16(max) rounded toward +inf in the high half."""
-    def directed(v, toward_neg):
-        b = np.ascontiguousarray(v.astype(np.float32)).view(np.uint32)
-        trunc = b & np.uint32(0xFFFF0000)
-        inexact = (b & np.uint32(0xFFFF)) != 0
-        neg = (b & np.uint32(0x80000000)) != 0
-        # f32 truncation rounds toward zero; bump one bf16 ulp outward
-        # when inexact on the shrinking side
-        bump = (inexact & (neg if toward_neg else ~neg)).astype(np.uint32)
-        return trunc + (bump << 16)
-
-    return (directed(mins, True) >> 16) | directed(maxes, False)
-
-
-def smem_bytes_estimate(bvh, blocks_per_leaf=1) -> int:
-    """Top-tree SMEM cost of pack_stream2 WITHOUT building the blocks —
-    scene.py probes blocks_per_leaf with this before packing.  32 B/node
-    (6 packed box words + 2 child words) vs pack_stream's 56."""
-    cut_mask, _ = _cut_mask(bvh, (LANES * blocks_per_leaf) // SUB_SLOTS)
-    cuts = np.nonzero(cut_mask)[0]
-    under = np.zeros(bvh.n_nodes + 1, dtype=np.int64)
-    np.add.at(under, cuts, 1)
-    np.add.at(under, bvh.miss[cuts], -1)
-    under = np.cumsum(under[:-1]) > 0
-    n_top = int((~(bvh.leaf_id >= 0) & ~under).sum())
-    return n_top * 8 * 4
 
 
 def smem_bytes(packed) -> int:

@@ -245,10 +245,10 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
         data["camtri"] = _camtri_arrays(soup.select(cam_ids), cam_ids)
         # mid-size scenes use the v2 Pallas packet-traversal kernel when the
         # node records fit SMEM (~1 MB) and the leaf table fits its VMEM
-        # budget; larger scenes use the streaming kernel (SMEM top tree +
+        # budget; larger scenes use the streaming kernels (SMEM top tree +
         # HBM fat-leaf blocks, ops/traverse_stream.py) whose SMEM cost is
-        # ~56 B per 128 triangles; only beyond ~1.8M triangles does the
-        # XLA gather walk remain as the fallback.
+        # 32 B per 128 triangles (bf16-packed box words); only beyond ~3M
+        # triangles does the XLA gather walk remain as the fallback.
         from .ops import traverse_pallas2 as tp2
         from .ops import traverse_stream as tstream
         from .ops import traverse_wide as twide
@@ -297,17 +297,11 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
                 # f32-HIGHEST path are clean) is resolved.
                 impl = os.environ.get("CLIVE2_STREAM_IMPL", "1")
                 bpl_min = int(os.environ.get("CLIVE2_STREAM_BPL", 1))
-                if impl == "1":
-                    estimate = tstream.smem_bytes_estimate
-                else:
-                    # stream2 bf16-packs its top-tree boxes (32 B/node vs
-                    # 56), which keeps sponza-scale scenes at bpl=1
-                    from .ops import traverse_stream2 as _ts2
-
-                    estimate = _ts2.smem_bytes_estimate
+                # both streaming impls bf16-pack the top-tree boxes
+                # (32 B/node), which keeps sponza-scale scenes at bpl=1
                 for k_blocks in (1, 2, 4, 8):
                     if (k_blocks >= bpl_min
-                            and estimate(bvh, k_blocks)
+                            and tstream.smem_bytes_estimate(bvh, k_blocks)
                             <= PALLAS_SMEM_BUDGET):
                         if impl == "1":
                             packed_s = tstream.pack_stream(

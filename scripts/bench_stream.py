@@ -40,7 +40,7 @@ def main():
     t0 = time.time()
     packed = ts.pack_stream(bvh, soup)
     print(f"pack_stream: {time.time()-t0:.1f}s "
-          f"top={packed['nodebox'].size//12} "
+          f"top={packed['nodebox'].size//6} "
           f"fat={packed['leafblocks'].shape[0]} "
           f"smemKB={ts.smem_bytes(packed)/1024:.0f} "
           f"hbmMB={ts.hbm_bytes(packed)/2**20:.0f}")

@@ -34,6 +34,10 @@ if grep -q "stream2 coherent: id match 100" "$LOG"; then
   # deeper DMA ring at the model-preferred config
   CLIVE2_STREAM_ROWS=48 CLIVE2_STREAM_NBUF=8 \
     step 1800 python scripts/val_tpu_round3.py stream2
+  # end-to-end A/B on the big-scene bench configs (defaults use impl 1;
+  # this row set decides whether to flip the scene.py default)
+  CLIVE2_STREAM_IMPL=2 BENCH_CONFIGS=medium_dragon,big_dragon,sponza_1080p \
+    step 2400 python bench.py
 else
   echo "=== stream2 correctness gate FAILED; skipping knob sweep" >> "$LOG"
 fi
