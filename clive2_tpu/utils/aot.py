@@ -73,11 +73,32 @@ def _signature(example_args) -> str:
     return repr(sig)
 
 
+@functools.lru_cache(maxsize=1)
+def _host_fingerprint() -> str:
+    """Host CPU identity.  CPU-backend executables embed host ISA
+    features (avx512/amx/...); deserializing one on a different machine
+    type can SIGILL (observed: this VM's machine type changed between
+    sessions and the stale caches started segfaulting XLA).  TPU
+    executables are covered by device_kind, but the key must rotate when
+    the HOST changes too."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() + platform.processor()
+
+
 def cache_key(example_args, salt: str = "") -> str:
     dev = jax.devices()[0]
     h = hashlib.sha256()
     for part in (_SCHEMA, salt, jax.__version__, dev.platform,
-                 getattr(dev, "device_kind", ""), _signature(example_args),
+                 getattr(dev, "device_kind", ""), _host_fingerprint(),
+                 _signature(example_args),
                  _env_fingerprint(), _source_fingerprint()):
         h.update(str(part).encode())
     return h.hexdigest()[:20]
