@@ -36,6 +36,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    On this deployment the host machine type drifts between sessions and
+    XLA:CPU has twice segfaulted inside backend_compile_and_load after
+    ~115 in-process compilations (always at the first compiles of
+    test_scene.py, never when the same file runs with a short prefix).
+    Dropping the accumulated live executables at module boundaries costs
+    a few cross-module recompiles and removes the long-process state the
+    crash needs.  Our own lru-cached step factories are cleared too so
+    they cannot pin stale executables."""
+    yield
+    from clive2_tpu import renderer as _r
+
+    for fn in (_r._make_step, _r._make_step_adaptive,
+               _r._make_adaptive_select, _r._make_adaptive_batch,
+               _r._make_step_chunked):
+        fn.cache_clear()
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
