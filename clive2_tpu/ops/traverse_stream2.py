@@ -118,11 +118,11 @@ SUB_SLOTS = 8                          # triangles per SAH leaf
 INF = float("inf")
 
 
-def _make_kernel(n_fat_cols: int):
-    return functools.partial(_kernel, n_fat_cols)
+def _make_kernel(n_fat_cols: int, any_hit: bool = False):
+    return functools.partial(_kernel, n_fat_cols, any_hit)
 
 
-def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
+def _kernel(cols, any_hit, nodebox, childs, leafblocks, rayfeat,
             ox, oy, oz, dx, dy, dz, tm,
             out_t, out_code,
             stack, qmask, acc_t, acc_c, blocks, staged, btcur, sem):
@@ -301,8 +301,17 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
                 # refresh the occlusion plane: this chunk's current best
                 # (NaN-safe: empty slots yield NaN products, masked out
                 # of new_t by the ok-comparisons, so the reduce is clean)
-                btcur[pl.ds(c, 1), :] = jnp.min(new_t, axis=0,
-                                                keepdims=True)
+                row_min = jnp.min(new_t, axis=0, keepdims=True)
+                if any_hit:
+                    # first-occluder termination (shadow rays — the
+                    # dominant BDPT ray population): once ANY genuine
+                    # hit exists under the ray's original cap, its plane
+                    # goes dead (-1) so no later box can open.  Licensed
+                    # by the any_hit contract (reported hit need not be
+                    # the closest); acc_t/acc_c keep the found hit.
+                    row_min = jnp.where(row_min < tm[pl.ds(c, 1), :],
+                                        -1.0, row_min)
+                btcur[pl.ds(c, 1), :] = row_min
             return 0
 
         jax.lax.fori_loop(span_lo, span_hi + 1, drain_chunk, 0)
@@ -432,9 +441,11 @@ def _kernel(cols, nodebox, childs, leafblocks, rayfeat,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_blocks", "cols", "interpret"))
+                   static_argnames=("n_blocks", "cols", "interpret",
+                                    "any_hit"))
 def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, planes,
-                     n_blocks: int, cols: int, interpret: bool = False):
+                     n_blocks: int, cols: int, interpret: bool = False,
+                     any_hit: bool = False):
     plane = lambda: pl.BlockSpec(
         (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -443,7 +454,7 @@ def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, planes,
         jax.ShapeDtypeStruct((n_blocks * RAY_ROWS, LANES), jnp.float32),
     ]
     return pl.pallas_call(
-        _make_kernel(cols),
+        _make_kernel(cols, any_hit),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # nodebox
@@ -506,9 +517,12 @@ def build_rayfeat(origin, direction, ctr):
 def intersect_stream2(origin, direction, packed, active=None, sort=False,
                       t_max=None, interpret=False, any_hit=False):
     """Closest hit via the MXU streaming kernel; same contract as
-    intersect_bvh.  ``any_hit`` is accepted for interface parity: the
-    capped-t semantics make the closest-under-cap answer a valid any-hit
-    answer (the kernel has no early-out to exploit it)."""
+    intersect_bvh.  ``any_hit`` licenses first-occluder termination: the
+    drain kills a ray's occlusion plane on its first genuine hit under
+    the original cap, so later fat leaves never open for it (the model
+    says shadow casts are the worst streaming regime; this trims their
+    visits).  Requires CLIVE2_STREAM_OCC=1 (default); with culling off
+    the closest-under-cap answer is still a valid any-hit answer."""
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
                           active=active)
@@ -564,6 +578,7 @@ def intersect_stream2(origin, direction, packed, active=None, sort=False,
         return _traverse_blocks(
             packed["nodebox"], packed["childs"], packed["leafblocks"],
             rf, pls, blocks_count, cols, interpret=interpret,
+            any_hit=bool(any_hit and STREAM_OCC),
         )
 
     if n_super > 1:

@@ -207,21 +207,47 @@ def main():
         o = (p + 1e-3 * ext.max() * d).astype(np.float32)
         return o, d
 
-    for regime, mk in (("coherent", camera_rays), ("incoherent",
-                                                   bounce_rays)):
-        o, d = mk(N_RAYS)
+    def shadow_rays(n):
+        """Connection casts: surface point -> surface point, t capped at
+        the segment length (the largest ray population of a BDPT sample —
+        up to 41 strategies/pixel)."""
+        def pts(seed):
+            r = np.random.default_rng(seed)
+            tri = soup.vertices[r.integers(0, len(soup), n)]
+            b = r.dirichlet([1, 1, 1], n).astype(np.float32)
+            return (tri * b[:, :, None]).sum(1)
+
+        a, bpt = pts(SEED + 1), pts(SEED + 2)
+        d = bpt - a
+        dist = np.linalg.norm(d, axis=1, keepdims=True)
+        d = (d / np.maximum(dist, 1e-9)).astype(np.float32)
+        o = (a + 1e-3 * ext.max() * d).astype(np.float32)
+        return o, d, dist[:, 0].astype(np.float32)
+
+    for regime, mk in (("coherent", camera_rays),
+                       ("incoherent", bounce_rays),
+                       ("shadow", shadow_rays)):
+        out = mk(N_RAYS)
+        o, d = out[0], out[1]
+        cap = out[2] if len(out) > 2 else None
         wi, wt, _, _ = (np.asarray(x) for x in
                         intersect_bvh_packed(jnp.asarray(o), jnp.asarray(d),
                                              ga))
         best_t = np.where(wi >= 0, wt, np.inf).astype(np.float32)
+        if cap is not None:
+            # capped casts never look past the segment; the kernel's
+            # best-t plane starts at the cap, so even the "upper" bound
+            # should use it
+            best_t = np.minimum(best_t, cap)
         key = np.asarray(_morton_key(jnp.asarray(o), jnp.asarray(d),
                                      jnp.asarray(lo), jnp.asarray(hi)))
         order = np.argsort(key)
         print(f"\n== {regime}: hitrate {(wi >= 0).mean():.3f}")
         for bpl in (1, 2, 4):
             childs, boxes, n_fat = top_tree(bvh, bpl)
-            for bound, tcap in (("upper", np.full(N_RAYS, np.inf,
-                                                  np.float32)),
+            upper_cap = (np.full(N_RAYS, np.inf, np.float32)
+                         if cap is None else cap)
+            for bound, tcap in (("upper", upper_cap),
                                 ("lower", best_t)):
                 vr, vf = walk_visits(o, d, tcap, childs, boxes)
                 per_ray = len(vr) / N_RAYS

@@ -513,3 +513,28 @@ class TestAnyHit:
                         & (np.asarray(wt) < np.asarray(t_max))
                         & np.asarray(active))
         np.testing.assert_array_equal(np.asarray(gi) >= 0, blocked_want)
+
+    def test_stream2_any_hit(self, rng):
+        """First-occluder termination in the MXU streaming kernel: the
+        blocked set must equal the closest-hit oracle's under-cap set,
+        and every reported hit must be genuine (under the cap) — the
+        dead-plane early-out may report a non-closest occluder."""
+        soup, bvh = self._scene(rng, t=900)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tstream2.pack_stream2(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 1100)
+        t_max = jnp.asarray(rng.uniform(1.0, 14.0, 1100).astype(np.float32))
+        gi, gt, _, _ = tstream2.intersect_stream2(
+            o, d, packed, sort=True, t_max=t_max, any_hit=True,
+            interpret=True)
+        wi, wt, _, _ = intersect_bvh_packed(o, d, ga)
+        blocked_want = ((np.asarray(wi) >= 0)
+                        & (np.asarray(wt) < np.asarray(t_max)))
+        np.testing.assert_array_equal(np.asarray(gi) >= 0, blocked_want)
+        hit = np.asarray(gi) >= 0
+        assert (np.asarray(gt)[hit] < np.asarray(t_max)[hit] + 1e-6).all()
+        # reported hits are genuine triangles: t at least the oracle's
+        # closest (can't beat the true nearest hit)
+        assert (np.asarray(gt)[hit] >= np.asarray(wt)[hit] - 1e-5).all()
