@@ -63,13 +63,21 @@ import os
 MAX_BLOCKS_PER_CALL = int(os.environ.get("CLIVE2_PALLAS_MAX_BLOCKS", 2048))
 
 
-def _make_kernel(any_hit: bool):
+def _make_kernel(any_hit: bool, group_gate: bool):
     """``any_hit`` compiles the shadow-ray variant (first-hit termination;
-    see traverse_pallas2._make_kernel for the contract)."""
-    return functools.partial(_kernel, any_hit)
+    see traverse_pallas2._make_kernel for the contract).  ``group_gate``
+    wraps each ray-group's leaf MT in a lax.cond on a scalar any-reduce of
+    that group's box-hit mask — skipping the ~35 vector ops for groups
+    with no ray touching the leaf child.  Opt-in (CLIVE2_WIDE_GATE=1)
+    pending a hardware A/B: with coherent packets only 1-3 of 8 groups
+    typically hit a given child, but each cond adds a serial
+    reduce->branch to the critical path (the binary kernel measured ~550
+    cycles per serialized scalar window), so the sign of the win is
+    scene-dependent."""
+    return functools.partial(_kernel, any_hit, group_gate)
 
 
-def _kernel(any_hit, wideboxes, childs, lblocks, leaff,
+def _kernel(any_hit, group_gate, wideboxes, childs, lblocks, leaff,
             ox, oy, oz, dx, dy, dz, act, tm,
             out_t, out_i, out_u, out_v, stack):
     tiny = jnp.float32(1e-30)
@@ -111,47 +119,59 @@ def _kernel(any_hit, wideboxes, childs, lblocks, leaff,
         tri_f = col(9)
 
         for g in range(SUBLANES):
-            rox, roy, roz = row(o_x, g), row(o_y, g), row(o_z, g)
-            rdx, rdy, rdz = row(d_x, g), row(d_y, g), row(d_z, g)
-            rhit = jnp.broadcast_to(masks_c[g], (SUBLANES, LANES))
-            rbt_row = bt[g:g + 1, :]
-            rbt = jnp.broadcast_to(rbt_row, (SUBLANES, LANES))
+            def mt_group(bt, bi, bu, bv, g=g):
+                rox, roy, roz = row(o_x, g), row(o_y, g), row(o_z, g)
+                rdx, rdy, rdz = row(d_x, g), row(d_y, g), row(d_z, g)
+                rhit = jnp.broadcast_to(masks_c[g], (SUBLANES, LANES))
+                rbt_row = bt[g:g + 1, :]
+                rbt = jnp.broadcast_to(rbt_row, (SUBLANES, LANES))
 
-            hx = rdy * e2z - rdz * e2y
-            hy = rdz * e2x - rdx * e2z
-            hz = rdx * e2y - rdy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / a
-            sx = rox - v0x
-            sy = roy - v0y
-            sz = roz - v0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (rdx * qx + rdy * qy + rdz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            ok = (
-                (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > DELTA) & (t < rbt) & rhit & (tri_f >= 0.0)
-            )
-            t = jnp.where(ok, t, INF)
-            tmin = jnp.min(t, axis=0, keepdims=True)       # [1, 128]
-            found = tmin < rbt_row
-            is_best = (t == jnp.broadcast_to(tmin, t.shape)) & ok
-            pick = lambda val: jnp.max(
-                jnp.where(is_best, val, -jnp.float32(INF)),
-                axis=0, keepdims=True
-            )
-            sel_i = pick(tri_f)
-            sel_u = pick(jnp.where(is_best, u, 0.0))
-            sel_v = pick(jnp.where(is_best, v, 0.0))
-            upd = (rowsel == g) & jnp.broadcast_to(found, (SUBLANES, LANES))
-            bc = lambda r: jnp.broadcast_to(r, (SUBLANES, LANES))
-            bt = jnp.where(upd, bc(tmin), bt)
-            bi = jnp.where(upd, bc(sel_i.astype(jnp.int32)), bi)
-            bu = jnp.where(upd, bc(sel_u), bu)
-            bv = jnp.where(upd, bc(sel_v), bv)
+                hx = rdy * e2z - rdz * e2y
+                hy = rdz * e2x - rdx * e2z
+                hz = rdx * e2y - rdy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = 1.0 / a
+                sx = rox - v0x
+                sy = roy - v0y
+                sz = roz - v0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (rdx * qx + rdy * qy + rdz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                ok = (
+                    (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > DELTA) & (t < rbt) & rhit & (tri_f >= 0.0)
+                )
+                t = jnp.where(ok, t, INF)
+                tmin = jnp.min(t, axis=0, keepdims=True)   # [1, 128]
+                found = tmin < rbt_row
+                is_best = (t == jnp.broadcast_to(tmin, t.shape)) & ok
+                pick = lambda val: jnp.max(
+                    jnp.where(is_best, val, -jnp.float32(INF)),
+                    axis=0, keepdims=True
+                )
+                sel_i = pick(tri_f)
+                sel_u = pick(jnp.where(is_best, u, 0.0))
+                sel_v = pick(jnp.where(is_best, v, 0.0))
+                upd = (rowsel == g) & jnp.broadcast_to(
+                    found, (SUBLANES, LANES))
+                bc = lambda r: jnp.broadcast_to(r, (SUBLANES, LANES))
+                bt = jnp.where(upd, bc(tmin), bt)
+                bi = jnp.where(upd, bc(sel_i.astype(jnp.int32)), bi)
+                bu = jnp.where(upd, bc(sel_u), bu)
+                bv = jnp.where(upd, bc(sel_v), bv)
+                return bt, bi, bu, bv
+
+            if group_gate:
+                bt, bi, bu, bv = jax.lax.cond(
+                    jnp.any(masks_c[g]), mt_group,
+                    lambda bt, bi, bu, bv: (bt, bi, bu, bv),
+                    bt, bi, bu, bv,
+                )
+            else:
+                bt, bi, bu, bv = mt_group(bt, bi, bu, bv)
         out_t[:] = bt
         out_i[:] = bi
         out_u[:] = bu
@@ -258,10 +278,11 @@ def _kernel(any_hit, wideboxes, childs, lblocks, leaff,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_blocks", "interpret", "any_hit"))
+                   static_argnames=("n_blocks", "interpret", "any_hit",
+                                    "group_gate"))
 def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
                      n_blocks: int, interpret: bool = False,
-                     any_hit: bool = False):
+                     any_hit: bool = False, group_gate: bool = False):
     plane = lambda: pl.BlockSpec(
         (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -273,7 +294,7 @@ def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
         jax.ShapeDtypeStruct(shape, jnp.float32),
     ]
     return pl.pallas_call(
-        _make_kernel(any_hit),
+        _make_kernel(any_hit, group_gate),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wideboxes
@@ -291,9 +312,14 @@ def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
 
 
 def intersect_wide(origin, direction, packed, active=None, sort=False,
-                   t_max=None, interpret=False, any_hit=False):
+                   t_max=None, interpret=False, any_hit=False,
+                   group_gate=None):
     """Closest hit via the BVH8 kernel; same contract as intersect_bvh.
-    ``any_hit`` licenses first-hit termination (see intersect_pallas2)."""
+    ``any_hit`` licenses first-hit termination (see intersect_pallas2).
+    ``group_gate`` (None -> CLIVE2_WIDE_GATE env, default off) skips the
+    leaf MT for ray-groups whose box-hit mask is empty — see _make_kernel."""
+    if group_gate is None:
+        group_gate = os.environ.get("CLIVE2_WIDE_GATE", "0") == "1"
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
                           active=active)
@@ -305,7 +331,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
             origin[order], direction[order], packed,
             active=None if active is None else active[order], sort=False,
             t_max=None if t_max is None else t_max[order],
-            interpret=interpret, any_hit=any_hit,
+            interpret=interpret, any_hit=any_hit, group_gate=group_gate,
         )
         return i[inv], t[inv], u[inv], v[inv]
 
@@ -341,7 +367,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
             lambda r: _traverse_blocks(
                 packed["wideboxes"], packed["childs"], packed["lblocks"],
                 packed["leaff"], r, cap, interpret=interpret,
-                any_hit=any_hit,
+                any_hit=any_hit, group_gate=group_gate,
             ),
             stacked,
         )
@@ -350,7 +376,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
         t, i, u, v = _traverse_blocks(
             packed["wideboxes"], packed["childs"], packed["lblocks"],
             packed["leaff"], rays, n_blocks, interpret=interpret,
-            any_hit=any_hit,
+            any_hit=any_hit, group_gate=group_gate,
         )
     reshape = lambda a: a.reshape(n_pad)[:n]
     i = reshape(i)

@@ -123,6 +123,14 @@ def main():
             fn = jax.jit(lambda o, d, pk: tw.intersect_wide(o, d, pk))
             check(tag, fn, packed, ga)
             bench(tag, fn, packed)
+            if tag == "wide47k":
+                # per-group leaf-gating A/B (CLIVE2_WIDE_GATE lever):
+                # pays its own Mosaic compile; coherent rays are the
+                # case the gate targets (1-3 of 8 groups per leaf child)
+                fng = jax.jit(lambda o, d, pk: tw.intersect_wide(
+                    o, d, pk, group_gate=True))
+                check(tag + "-gate", fng, packed, ga)
+                bench(tag + "-gate", fng, packed)
 
 
 if __name__ == "__main__":

@@ -194,6 +194,20 @@ class TestTraverseWide:
         assert (np.asarray(gi)[~keep] == -1).all()
         assert not np.isfinite(np.asarray(gt)[~keep]).any()
 
+    def test_group_gate_equivalence(self, rng):
+        """CLIVE2_WIDE_GATE: per-group leaf-MT gating must be a pure
+        perf knob — identical hits with and without it, including under
+        an active mask (empty groups are exactly what the gate skips)."""
+        from clive2_tpu.ops import traverse_wide as tw
+
+        _, _, packed, ga = self._packed(rng, 500)
+        o, d = _random_rays(rng, 1100)
+        active = jnp.asarray(rng.uniform(size=1100) < 0.5)
+        want = intersect_bvh_packed(o, d, ga, active=active)
+        got = tw.intersect_wide(o, d, packed, active=active, sort=True,
+                                interpret=True, group_gate=True)
+        _assert_hits_equal(got, want, "wide group-gated")
+
     def test_leaf_blocks_cover_all_triangles(self, rng):
         """Every triangle appears in exactly one leaf-block slot."""
         soup, _, packed, _ = self._packed(rng, 555)
