@@ -67,7 +67,10 @@ def top_tree(bvh, bpl):
     boxes[:, 0, 3:6] = bvh.node_maxes[left]
     boxes[:, 1, 0:3] = bvh.node_mins[right]
     boxes[:, 1, 3:6] = bvh.node_maxes[right]
-    return childs, boxes, len(cuts)
+    ext = (bvh.node_maxes[cuts] - bvh.node_mins[cuts]).astype(np.float64)
+    area = (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+            + ext[:, 0] * ext[:, 2])
+    return childs, boxes, len(cuts), area
 
 
 def walk_visits(o, d, t_max, childs, boxes, depth=160):
@@ -171,6 +174,29 @@ def packet_stats(vis_r, vis_f, order, n_rays, rows):
     return visits, n_pkt
 
 
+def hot_leaf_coverage(vis_r, vis_f, order, n_rays, rows, n_fat, area,
+                      ks=(64, 128, 192)):
+    """Would a static VMEM-resident cache of the K hottest fat leaves cut
+    DMA?  Reports, per K, the fraction of (packet, fat-leaf) DMA visits
+    that land on the top-K leaves under two rankings: 'oracle' (by this
+    workload's own visit counts — an upper bound no static choice beats)
+    and 'area' (by node surface area — computable at pack time).  Each
+    resident leaf costs STREAM2_BLOCK bytes of VMEM (~80 KB at bpl=1),
+    so K is bounded by ~100-150 on a 16 MB-VMEM part."""
+    rank = np.empty(n_rays, np.int64)
+    rank[order] = np.arange(n_rays)
+    pkt = rank[vis_r] // (rows * LANES)
+    key = pkt * (vis_f.max() + 1) + vis_f
+    uniq_f = np.unique(key) % (vis_f.max() + 1)    # fat id of each DMA visit
+    counts = np.bincount(uniq_f.astype(np.int64), minlength=n_fat)
+    total = counts.sum()
+    out = {}
+    for name, ranking in (("oracle", np.argsort(-counts)),
+                          ("area", np.argsort(-area))):
+        out[name] = [counts[ranking[:k]].sum() / max(total, 1) for k in ks]
+    return ks, out
+
+
 def main():
     import jax.numpy as jnp
 
@@ -244,7 +270,7 @@ def main():
         order = np.argsort(key)
         print(f"\n== {regime}: hitrate {(wi >= 0).mean():.3f}")
         for bpl in (1, 2, 4):
-            childs, boxes, n_fat = top_tree(bvh, bpl)
+            childs, boxes, n_fat, fat_area = top_tree(bvh, bpl)
             upper_cap = (np.full(N_RAYS, np.inf, np.float32)
                          if cap is None else cap)
             for bound, tcap in (("upper", upper_cap),
@@ -281,6 +307,13 @@ def main():
                                  f"{bytes_per_ray / 1e3:6.1f}kB"
                                  f"@{mrays:7.1f}M")
                 print(line, flush=True)
+                if bpl == 1:
+                    ks, cov = hot_leaf_coverage(vr, vf, order, N_RAYS, 32,
+                                                n_fat, fat_area)
+                    print("    hot-leaf DMA coverage (R32): " + "  ".join(
+                        f"{nm} top{k}={c*100:4.1f}%"
+                        for nm in ("oracle", "area")
+                        for k, c in zip(ks, cov[nm])), flush=True)
 
 
 if __name__ == "__main__":
