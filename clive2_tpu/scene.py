@@ -291,10 +291,12 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
                 # CLIVE2_STREAM_BPL forces a minimum (A/B: fewer, larger
                 # DMAs vs finer top-tree culling).
                 # CLIVE2_STREAM_IMPL=2 selects the MXU bilinear-MT kernel
-                # (ops/traverse_stream2.py); the default remains the VPU
-                # streaming kernel until the stream2 TPU-hardware hit
-                # mismatch (under investigation; interpret mode and the
-                # f32-HIGHEST path are clean) is resolved.
+                # (ops/traverse_stream2.py).  Its round-3 hit mismatch was
+                # root-caused to bf16x3 operand noise under ~500x
+                # cancellation and fixed with the bf16x6 K=64 layout
+                # (see build_rayfeat); the default stays the VPU streaming
+                # kernel until the queued hardware validation
+                # (scripts/val_tpu_round3.py) confirms the fix on-chip.
                 impl = os.environ.get("CLIVE2_STREAM_IMPL", "1")
                 bpl_min = int(os.environ.get("CLIVE2_STREAM_BPL", 1))
                 # both streaming impls bf16-pack the top-tree boxes
