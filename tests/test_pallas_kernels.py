@@ -510,6 +510,24 @@ class TestAnyHit:
                                 any_hit=True, interpret=True)
         self._check(got, intersect_bvh_packed(o, d, ga), t_max)
 
+    def test_wide_any_hit_group_gated(self, rng):
+        """any_hit x CLIVE2_WIDE_GATE: shadow casts are the config the
+        gate would actually run in production — the early-terminated rays
+        make empty groups more common, so both flags must compose."""
+        import clive2_tpu.ops.traverse_wide as tw
+
+        soup, bvh = self._scene(rng)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tw.pack_bvh8(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 1200)
+        t_max = jnp.asarray(rng.uniform(1.0, 14.0, 1200).astype(np.float32))
+        got = tw.intersect_wide(o, d, packed, sort=True, t_max=t_max,
+                                any_hit=True, interpret=True,
+                                group_gate=True)
+        self._check(got, intersect_bvh_packed(o, d, ga), t_max)
+
     def test_stream_any_hit(self, rng):
         soup, bvh = self._scene(rng, t=900)
         packed = {k: jnp.asarray(v) for k, v in
