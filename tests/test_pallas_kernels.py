@@ -570,3 +570,111 @@ class TestAnyHit:
         # reported hits are genuine triangles: t at least the oracle's
         # closest (can't beat the true nearest hit)
         assert (np.asarray(gt)[hit] >= np.asarray(wt)[hit] - 1e-5).all()
+
+
+
+class TestStream2Precision:
+    """Regression-pins the bf16x6 operand layout of the MXU drain.
+
+    The bilinear Möller-Trumbore forms cancel ~500x on near-parallel
+    sliver geometry, and every drained fat leaf is tested against the
+    WHOLE packet, so rays see ~100x more foreign triangles than their
+    own traversal needs.  Under the earlier bf16x3 split (2^-17
+    term-relative noise) foreign slivers spuriously passed the u/v/t
+    window and stole wins: 0.23% wrong winners in CPU emulation, up to
+    35% on hardware depending on packet composition.
+
+    This test reproduces the numpy MXU emulation that root-caused the
+    bug: the production pipeline (pack_stream2's native-bf16 blocks x
+    build_rayfeat's bf16 features, f32 accumulation — exactly what the
+    MXU computes) against the dequantized-f64 contraction of the SAME
+    features.  Material winner flips must stay at the bf16x6 level
+    (~0%).  A built-in power check cripples the layout to its bf16x3
+    subset (zeroing the r3*B1 / r2*B2 / r1*B3 residual sections) and
+    requires the flip rate to become measurable — so the test cannot
+    silently lose its detection power if the scene generator or the
+    thresholds drift."""
+
+    N_T, N = 50_000, 6144
+
+    def _winner(self, blocks64, rayK64, slot_tri, groups, delta):
+        n = rayK64.shape[1]
+        cols = blocks64.shape[1] // groups
+        best_t = np.full(n, 1e30)
+        best_tri = np.full(n, -1, np.int64)
+        for fb in range(blocks64.shape[0]):
+            prod = blocks64[fb] @ rayK64
+            a = prod[0 * cols:1 * cols]
+            un = prod[1 * cols:2 * cols]
+            vn = prod[2 * cols:3 * cols]
+            tn = prod[3 * cols:4 * cols]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                uu, vv, tt = un / a, vn / a, tn / a
+            ok = ((uu >= 0) & (uu <= 1) & (vv >= 0) & (uu + vv <= 1)
+                  & (tt > delta) & (tt < best_t[None, :]))
+            t_ok = np.where(ok, tt, np.inf)
+            slot = np.argmin(t_ok, axis=0)
+            cm = t_ok[slot, np.arange(n)]
+            better = cm < best_t
+            best_t = np.where(better, cm, best_t)
+            best_tri = np.where(better, slot_tri[fb * cols + slot],
+                                best_tri)
+        return best_tri, best_t.astype(np.float32)
+
+    def test_bf16x6_drain_flip_rate(self, rng):
+        from clive2_tpu.constants import DELTA
+
+        n_t, n = self.N_T, self.N
+        v0 = rng.uniform(-5, 5, (n_t, 3)).astype(np.float32)
+        u = rng.normal(size=(n_t, 3)).astype(np.float32)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        w = rng.normal(size=(n_t, 3)).astype(np.float32)
+        tris = np.stack(
+            [v0, v0 + 2.0 * u, v0 + 2.0 * u + 0.01 * w], axis=1)
+        soup = TriangleSoup.from_vertices(tris)
+        packed = tstream2.pack_stream2(build_bvh(soup), soup)
+        slot_tri = np.asarray(packed["slot_tri"])
+
+        o = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        rf_q = np.asarray(
+            tstream2.build_rayfeat(jnp.asarray(o), jnp.asarray(d),
+                                   jnp.asarray(packed["ctr"]))
+        ).astype(np.float64)                               # [KDIM, n]
+
+        LIVE, G = tstream2.LIVE, tstream2.GROUPS
+        bq = np.asarray(packed["leafblocks"]).astype(np.float64)
+
+        # reference: dequantized features, single f64 contraction.  The
+        # bf16x6 split sections sum back to ~exact f32 on both sides.
+        b_full = (bq[:, :, 0 * LIVE:1 * LIVE]
+                  + bq[:, :, 3 * LIVE:4 * LIVE]
+                  + bq[:, :, 5 * LIVE:6 * LIVE])
+        r_full = (rf_q[0 * LIVE:1 * LIVE]
+                  + rf_q[1 * LIVE:2 * LIVE]
+                  + rf_q[2 * LIVE:3 * LIVE])
+        tri_ref, t_ref = self._winner(b_full, r_full, slot_tri, G, DELTA)
+        hits = (tri_ref >= 0).mean()
+        assert hits > 0.3, f"degenerate sliver scene: hitrate {hits:.2f}"
+
+        def flip_rate(blocks):
+            tri, t = self._winner(blocks, rf_q, slot_tri, G, DELTA)
+            mat = (tri != tri_ref) & (
+                np.abs(t - t_ref) > 1e-3 * np.maximum(t_ref, 1e-3))
+            return mat.mean()
+
+        rate_x6 = flip_rate(bq)
+        assert rate_x6 <= 5e-4, (
+            f"bf16x6 drain material flip rate {rate_x6*100:.3f}% "
+            f"(was 0.000% at the round-3 fix) — precision regressed")
+
+        # power check: the x3-equivalent subset must be measurably bad,
+        # or this test has stopped being able to see the failure mode
+        crippled = bq.copy()
+        for sec in (2, 4, 5):
+            crippled[:, :, sec * LIVE:(sec + 1) * LIVE] = 0
+        rate_x3 = flip_rate(crippled)
+        assert rate_x3 > 10 * max(rate_x6, 5e-5), (
+            f"power check: crippled-x3 rate {rate_x3*100:.3f}% is not "
+            f"separable from x6 {rate_x6*100:.3f}% — test lost its teeth")
