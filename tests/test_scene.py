@@ -88,7 +88,18 @@ def test_material_def_override():
     from clive2_tpu.materials import default_materials
     from clive2_tpu.scene import RESOURCE_DIR, create_scene
 
-    spec = [{"file_path": os.path.join(RESOURCE_DIR, "teapot.obj"),
+    teapot = os.path.join(RESOURCE_DIR, "teapot.obj")
+    if not os.path.exists(teapot):
+        # fresh checkout: resources/ is generated, not tracked — the
+        # exact 32-patch teapot is cheap to emit here (make_assets.py
+        # also builds the 1.3M-tri sponza, which is not)
+        from clive2_tpu.load import write_obj
+        from clive2_tpu.models import utah_teapot
+
+        os.makedirs(RESOURCE_DIR, exist_ok=True)
+        v, f = utah_teapot(n=10)
+        write_obj(teapot, v, f)
+    spec = [{"file_path": teapot,
              "material_def": {"color": (0.1, 0.6, 0.9), "type": 2,
                               "alpha": 0.3, "ior": 1.8}}]
     scene = create_scene(pixel_width=16, pixel_height=16, file_specs=spec)
