@@ -610,8 +610,10 @@ class TestStream2Precision:
             tn = prod[3 * cols:4 * cols]
             with np.errstate(divide="ignore", invalid="ignore"):
                 uu, vv, tt = un / a, vn / a, tn / a
-            ok = ((uu >= 0) & (uu <= 1) & (vv >= 0) & (uu + vv <= 1)
-                  & (tt > delta) & (tt < best_t[None, :]))
+                # empty slots yield nan (a == 0): the comparisons mask
+                # them out, exactly like the kernel's elementwise merge
+                ok = ((uu >= 0) & (uu <= 1) & (vv >= 0) & (uu + vv <= 1)
+                      & (tt > delta) & (tt < best_t[None, :]))
             t_ok = np.where(ok, tt, np.inf)
             slot = np.argmin(t_ok, axis=0)
             cm = t_ok[slot, np.arange(n)]
