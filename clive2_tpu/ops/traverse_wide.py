@@ -319,7 +319,10 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
     ``group_gate`` (None -> CLIVE2_WIDE_GATE env, default off) skips the
     leaf MT for ray-groups whose box-hit mask is empty — see _make_kernel."""
     if group_gate is None:
-        group_gate = os.environ.get("CLIVE2_WIDE_GATE", "0") == "1"
+        from ..utils.tuned import tuned_default
+
+        group_gate = (os.environ.get("CLIVE2_WIDE_GATE")
+                      or tuned_default("wide_gate", "0")) == "1"
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
                           active=active)

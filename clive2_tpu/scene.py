@@ -297,7 +297,10 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
                 # (see build_rayfeat); the default stays the VPU streaming
                 # kernel until the queued hardware validation
                 # (scripts/val_tpu_round3.py) confirms the fix on-chip.
-                impl = os.environ.get("CLIVE2_STREAM_IMPL", "1")
+                from .utils.tuned import tuned_default
+
+                impl = (os.environ.get("CLIVE2_STREAM_IMPL")
+                        or tuned_default("stream_impl", "1"))
                 bpl_min = int(os.environ.get("CLIVE2_STREAM_BPL", 1))
                 # both streaming impls bf16-pack the top-tree boxes
                 # (32 B/node), which keeps sponza-scale scenes at bpl=1

@@ -55,12 +55,17 @@ def _source_fingerprint() -> str:
 
 
 def _env_fingerprint() -> str:
-    """All CLIVE2_* knobs, sorted.  Cheap and future-proof vs keeping a
-    hand-maintained list in sync with the ops modules."""
+    """All CLIVE2_* knobs, sorted, plus the tuned-defaults file content
+    (a tuning flip changes compiled-kernel semantics — e.g. wide_gate —
+    without changing any env var or argument shape).  Cheap and
+    future-proof vs keeping a hand-maintained list in sync with the ops
+    modules."""
+    from .tuned import tuned_fingerprint
+
     knobs = sorted(
         (k, v) for k, v in os.environ.items() if k.startswith("CLIVE2_")
     )
-    return repr(knobs)
+    return repr(knobs) + tuned_fingerprint()
 
 
 def _signature(example_args) -> str:

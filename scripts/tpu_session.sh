@@ -45,4 +45,13 @@ fi
 step 900 python scripts/shade_ab.py
 
 step 2400 python bench.py
+
+# turn measured wins into deployment-tuned defaults (utils/tuned.py) so
+# every later render — including the driver's own bench run — uses the
+# winning kernel variants without a code edit; then re-record the bench
+# under the new defaults so the flip's effect is in the same log
+step 120 python scripts/tune_from_session.py "$LOG"
+if grep -q "tune_from_session: wrote" "$LOG"; then
+  step 2400 python bench.py
+fi
 echo "=== SESSION DONE ($(date))" >> "$LOG"

@@ -1,0 +1,122 @@
+"""Turn a hardware-validation session log into deployment-tuned kernel
+defaults (clive2_tpu/utils/tuned.py), so wins measured by the unattended
+queue (scripts/tpu_queue.sh -> tpu_session.sh) take effect for every
+later render without a code edit.
+
+Decisions (conservative — a flip requires BOTH correctness and a win):
+  stream_impl=2   if the stream2 correctness gate passed (id match 100%
+                  coherent AND incoherent in val_tpu_round3 output) and
+                  the CLIVE2_STREAM_IMPL=2 bench section beats the
+                  default-config section on the sponza row without
+                  losing on big_dragon.
+  wide_gate=1     if the wide47k-gate check matched 100% in both regimes
+                  and its bench beat the ungated wide47k in both.
+
+Usage: python scripts/tune_from_session.py /tmp/tpu_queue.log
+"""
+
+import json
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def parse_bench_sections(text):
+    """JSON rows per '=== START ... bench.py' section, in order."""
+    sections = []
+    cur = None
+    for line in text.splitlines():
+        if "=== START" in line and "bench.py" in line:
+            cur = {}
+            sections.append(cur)
+        elif "=== START" in line:
+            cur = None
+        elif cur is not None and line.startswith("{"):
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            if "metric" in row:
+                cur[row["metric"]] = row.get("value")
+    return sections
+
+
+def metric_value(rows, *needles):
+    """Value of the first metric containing any needle.  Success rows use
+    descriptive metric names (e.g. glass_dragon_871k_512x512); timeout /
+    error rows fall back to the config name (big_dragon) — match both."""
+    for m, v in rows.items():
+        if any(nd in m for nd in needles):
+            return v
+    return None
+
+
+def check_pass(text, tag):
+    """val_tpu_round3 'id match 100.00%' in both regimes for ``tag``."""
+    pat = re.compile(rf"^{re.escape(tag)} (coherent|incoherent): "
+                     rf"id match 100\.00?%", re.M)
+    return len(set(pat.findall(text))) == 2
+
+
+def bench_mrays(text, tag, regime):
+    pat = re.compile(rf"^{re.escape(tag)} {regime}:\s+[\d.]+ ms ->\s+"
+                     rf"([\d.]+) Mrays/s", re.M)
+    vals = [float(v) for v in pat.findall(text)]
+    return max(vals) if vals else None
+
+
+def decide(text):
+    updates = {}
+
+    # --- wide-kernel per-group leaf gating --------------------------------
+    if check_pass(text, "wide47k-gate"):
+        wins = []
+        for regime in ("coherent", "incoherent"):
+            base = bench_mrays(text, "wide47k", regime)
+            gate = bench_mrays(text, "wide47k-gate", regime)
+            wins.append(base is not None and gate is not None
+                        and gate > base)
+        if all(wins):
+            updates["wide_gate"] = "1"
+
+    # --- streaming impl ----------------------------------------------------
+    if check_pass(text, "stream2"):
+        sections = parse_bench_sections(text)
+        ab = next((s for s in sections
+                   if metric_value(s, "sponza") is not None
+                   and metric_value(s, "cornell") is None), None)
+        default = next((s for s in reversed(sections)
+                        if metric_value(s, "cornell") is not None), None)
+        if ab and default:
+            s2_sponza = metric_value(ab, "sponza")
+            s1_sponza = metric_value(default, "sponza")
+            s2_big = metric_value(ab, "871k", "big_dragon")
+            s1_big = metric_value(default, "871k", "big_dragon")
+            sponza_win = (isinstance(s2_sponza, (int, float))
+                          and isinstance(s1_sponza, (int, float))
+                          and s2_sponza > s1_sponza)
+            big_ok = (not isinstance(s2_big, (int, float))
+                      or not isinstance(s1_big, (int, float))
+                      or s2_big >= 0.9 * s1_big)
+            if sponza_win and big_ok:
+                updates["stream_impl"] = "2"
+    return updates
+
+
+def main():
+    log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_queue.log"
+    with open(log) as f:
+        text = f.read()
+    updates = decide(text)
+    if not updates:
+        print("tune_from_session: no flips earned; tuned file unchanged")
+        return
+    from clive2_tpu.utils.tuned import write_tuned
+
+    path = write_tuned(updates)
+    print(f"tune_from_session: wrote {updates} -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,12 @@ if "xla_force_host_platform_device_count" not in flags:
 # row-count-independent).  Must be set before clive2_tpu imports.
 os.environ.setdefault("CLIVE2_STREAM_ROWS", "8")
 
+# Hermetic kernel selection: a hardware-validation session may have
+# written deployment-tuned defaults (output/tuned.json); the dispatch
+# tests assert the untuned defaults, and every tuned path is covered
+# explicitly via CLIVE2_TUNED_PATH.
+os.environ.setdefault("CLIVE2_TUNED", "0")
+
 # The suite must NOT share the repo's persistent compilation cache: a
 # concurrent cache write from a second jax process (e.g. a TPU bench
 # running alongside the suite) segfaulted in zstd inside

@@ -83,3 +83,60 @@ def test_stream_coarsens_blocks_per_leaf_to_fit_smem(monkeypatch):
 def test_force_env_overrides_dispatch(monkeypatch):
     s = _make(monkeypatch, 3000, env={"CLIVE2_TRAVERSAL": "wide"})
     assert _selected(s) == ["wide"]
+
+
+def test_tuned_file_flips_stream_impl(monkeypatch, tmp_path):
+    """A hardware-validation session records winning kernel variants in
+    tuned.json (utils/tuned.py); when the env knob is unset the
+    dispatcher must honor it — and an explicit env knob must win."""
+    p = tmp_path / "tuned.json"
+    p.write_text('{"stream_impl": "2"}')
+    monkeypatch.setenv("CLIVE2_TUNED", "1")
+    monkeypatch.setenv("CLIVE2_TUNED_PATH", str(p))
+    s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=64 * 1024)
+    assert _selected(s) == ["stream2"]
+    s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=64 * 1024,
+              env={"CLIVE2_STREAM_IMPL": "1"})
+    assert _selected(s) == ["stream"]
+
+
+def test_tune_from_session_decisions(tmp_path, monkeypatch):
+    """The unattended tuner must flip only on correctness + a win."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import importlib
+
+    tfs = importlib.import_module("tune_from_session")
+
+    win_log = "\n".join([
+        "=== START python scripts/val_tpu_round3.py all (date)",
+        "stream2 coherent: id match 100.00%  hitrate 0.9/0.9  (first 5s)",
+        "stream2 incoherent: id match 100.00%  hitrate 0.6/0.6",
+        "wide47k coherent:    10.0 ms ->  20.00 Mrays/s",
+        "wide47k incoherent:  20.0 ms ->  10.00 Mrays/s",
+        "wide47k-gate coherent: id match 100.00%  hitrate 0.9/0.9",
+        "wide47k-gate incoherent: id match 100.00%  hitrate 0.6/0.6",
+        "wide47k-gate coherent:     8.0 ms ->  25.00 Mrays/s",
+        "wide47k-gate incoherent:  16.0 ms ->  12.50 Mrays/s",
+        "=== START python bench.py (date)",       # the IMPL=2 A/B subset
+        '{"metric": "sponza_1.3Mtris_1920x1080", "value": 2.5, "unit": "Mrays/s"}',
+        '{"metric": "glass_dragon_871k_512x512", "value": 3.0, "unit": "Mrays/s"}',
+        "=== START python bench.py (date)",       # the default full run
+        '{"metric": "cornell_256x256", "value": 120.0, "unit": "Mrays/s"}',
+        '{"metric": "sponza_1.3Mtris_1920x1080", "value": 0.3, "unit": "Mrays/s"}',
+        '{"metric": "glass_dragon_871k_512x512", "value": 2.9, "unit": "Mrays/s"}',
+    ])
+    assert tfs.decide(win_log) == {"wide_gate": "1", "stream_impl": "2"}
+
+    # correctness gate failed -> no flip, whatever the bench says
+    lose = win_log.replace("stream2 incoherent: id match 100.00%",
+                           "stream2 incoherent: id match 99.10%")
+    assert "stream_impl" not in tfs.decide(lose)
+
+    # gate slower incoherent -> wide_gate not flipped
+    slower = win_log.replace("wide47k-gate incoherent:  16.0 ms ->  "
+                             "12.50 Mrays/s",
+                             "wide47k-gate incoherent:  26.0 ms ->  "
+                             "7.50 Mrays/s")
+    assert "wide_gate" not in tfs.decide(slower)
