@@ -118,11 +118,15 @@ SUB_SLOTS = 8                          # triangles per SAH leaf
 INF = float("inf")
 
 
-def _make_kernel(n_fat_cols: int, any_hit: bool = False):
-    return functools.partial(_kernel, n_fat_cols, any_hit)
+def _make_kernel(n_fat_cols: int, any_hit: bool = False, agg: bool = False):
+    if agg and (STREAM_MM != "dot" or STREAM_STAGE):
+        raise ValueError(
+            "CLIVE2_STREAM_AGG=1 requires the default drain "
+            "(CLIVE2_STREAM_MM=dot, CLIVE2_STREAM_STAGE=0)")
+    return functools.partial(_kernel, n_fat_cols, any_hit, agg)
 
 
-def _kernel(cols, any_hit, nodebox, childs, leafblocks, rayfeat,
+def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             ox, oy, oz, dx, dy, dz, tm,
             out_t, out_code,
             stack, qmask, acc_t, acc_c, blocks, staged, btcur, sem):
@@ -230,6 +234,41 @@ def _kernel(cols, any_hit, nodebox, childs, leafblocks, rayfeat,
             jnp.where(live, rowi, jnp.int32(-1)))
 
     # ---- drain: one matmul + elementwise merge per ray chunk ---------------
+    def _merge_hits(prod, off, cur_t, cur_c):
+        """Fold one block's 5 output groups (rows [off, off+5*cols) of the
+        drain product) into the per-(tri-slot-row, ray-lane) best state."""
+        a = prod[off + 0 * cols:off + 1 * cols, :]
+        u_n = prod[off + 1 * cols:off + 2 * cols, :]
+        v_n = prod[off + 2 * cols:off + 3 * cols, :]
+        t_n = prod[off + 3 * cols:off + 4 * cols, :]
+        code = prod[off + 4 * cols:off + 5 * cols, :]
+        f = 1.0 / a
+        u = u_n * f
+        v = v_n * f
+        t = t_n * f
+        ok = (
+            (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > DELTA) & (t < cur_t)
+        )
+        return jnp.where(ok, t, cur_t), jnp.where(ok, code, cur_c)
+
+    def _occ_update(c, new_t):
+        if STREAM_OCC:
+            # refresh the occlusion plane: this chunk's current best
+            # (NaN-safe: empty slots yield NaN products, masked out
+            # of new_t by the ok-comparisons, so the reduce is clean)
+            row_min = jnp.min(new_t, axis=0, keepdims=True)
+            if any_hit:
+                # first-occluder termination (shadow rays — the
+                # dominant BDPT ray population): once ANY genuine
+                # hit exists under the ray's original cap, its plane
+                # goes dead (-1) so no later box can open.  Licensed
+                # by the any_hit contract (reported hit need not be
+                # the closest); acc_t/acc_c keep the found hit.
+                row_min = jnp.where(row_min < tm[pl.ds(c, 1), :],
+                                    -1.0, row_min)
+            btcur[pl.ds(c, 1), :] = row_min
+
     def drain(qhead):
         slot = qhead & (NBUF - 1)
         pltpu.make_async_copy(
@@ -280,40 +319,68 @@ def _kernel(cols, any_hit, nodebox, childs, leafblocks, rayfeat,
             else:
                 prod = jnp.dot(feat, rf, preferred_element_type=jnp.float32,
                                precision=STREAM_PREC)
-            a = prod[0 * cols:1 * cols, :]
-            u_n = prod[1 * cols:2 * cols, :]
-            v_n = prod[2 * cols:3 * cols, :]
-            t_n = prod[3 * cols:4 * cols, :]
-            code = prod[4 * cols:5 * cols, :]
-            f = 1.0 / a
-            u = u_n * f
-            v = v_n * f
-            t = t_n * f
-            cur_t = acc_t[c]
-            ok = (
-                (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > DELTA) & (t < cur_t)
-            )
-            new_t = jnp.where(ok, t, cur_t)
+            new_t, new_c = _merge_hits(prod, 0, acc_t[c], acc_c[c])
             acc_t[c] = new_t
-            acc_c[c] = jnp.where(ok, code, acc_c[c])
-            if STREAM_OCC:
-                # refresh the occlusion plane: this chunk's current best
-                # (NaN-safe: empty slots yield NaN products, masked out
-                # of new_t by the ok-comparisons, so the reduce is clean)
-                row_min = jnp.min(new_t, axis=0, keepdims=True)
-                if any_hit:
-                    # first-occluder termination (shadow rays — the
-                    # dominant BDPT ray population): once ANY genuine
-                    # hit exists under the ray's original cap, its plane
-                    # goes dead (-1) so no later box can open.  Licensed
-                    # by the any_hit contract (reported hit need not be
-                    # the closest); acc_t/acc_c keep the found hit.
-                    row_min = jnp.where(row_min < tm[pl.ds(c, 1), :],
-                                        -1.0, row_min)
-                btcur[pl.ds(c, 1), :] = row_min
+            acc_c[c] = new_c
+            _occ_update(c, new_t)
             return 0
 
+        jax.lax.fori_loop(span_lo, span_hi + 1, drain_chunk, 0)
+
+    def drain2(qhead):
+        """Aggregated drain: TWO ready ring slots in ONE MXU pass per live
+        chunk ([2*5*cols, K] @ [K, 128]) — amortizes the per-chunk-visit
+        fixed cost (mask word read, fori bookkeeping, acc_t/acc_c
+        read-modify-write, matmul issue latency) across two fat-leaf
+        blocks.  Per-row dot products are independent, so each block's
+        numbers are bit-identical to two single drains; the merge applies
+        slot A then slot B, the same order the single-slot path visits
+        them.  A chunk live in only one slot's mask pays both blocks'
+        elementwise merge (the exact ok-window masks the foreign block's
+        rows), and the occlusion plane refreshes once per PAIR instead of
+        once per slot — both conservative-safe.  Worth it only if the
+        fixed cost is a large share of the measured ~160 ns/chunk-visit
+        (scripts/dma_model.py's open question); the hardware A/B
+        (val_tpu_round3.py stream2agg mode) decides, and
+        tune_from_session.py flips the ``stream_agg`` tuned default on a
+        double win."""
+        slot_a = qhead & (NBUF - 1)
+        slot_b = (qhead + 1) & (NBUF - 1)
+        pltpu.make_async_copy(
+            leafblocks.at[0], blocks.at[slot_a], sem.at[slot_a]
+        ).wait()
+        pltpu.make_async_copy(
+            leafblocks.at[0], blocks.at[slot_b], sem.at[slot_b]
+        ).wait()
+        if STREAM_DIAG == "nodrain":
+            return
+        feat = jnp.concatenate(
+            [blocks[slot_a], blocks[slot_b]], axis=0)      # [2*5*cols, KDIM]
+
+        def _drain_pair(c, feat):
+            rf = rayfeat[:, pl.ds(c * LANES, LANES)]       # [KDIM, 128]
+            prod = jnp.dot(feat, rf, preferred_element_type=jnp.float32,
+                           precision=STREAM_PREC)
+            t1, c1 = _merge_hits(prod, 0, acc_t[c], acc_c[c])
+            t2, c2 = _merge_hits(prod, GROUPS * cols, t1, c1)
+            acc_t[c] = t2
+            acc_c[c] = c2
+            _occ_update(c, t2)
+            return 0
+
+        def drain_chunk(c, _):
+            live = ((qmask[slot_a, c >> 4] | qmask[slot_b, c >> 4])
+                    >> (c & 15)) & 1
+
+            @pl.when(live == 1)
+            def _():
+                _drain_pair(c, feat)
+
+            return 0
+
+        span_lo = jnp.minimum(qmask[slot_a, NMASKW], qmask[slot_b, NMASKW])
+        span_hi = jnp.maximum(qmask[slot_a, NMASKW + 1],
+                              qmask[slot_b, NMASKW + 1])
         jax.lax.fori_loop(span_lo, span_hi + 1, drain_chunk, 0)
 
     # ---- node phase: pop SMEM nodes, DMA fat-leaf children -----------------
@@ -395,12 +462,22 @@ def _kernel(cols, any_hit, nodebox, childs, leafblocks, rayfeat,
     def outer_body(c):
         sp, qhead, qcount = node_phase(c)
 
-        @pl.when(qcount > 0)
-        def _():
-            drain(qhead)
+        if agg:
+            @pl.when(qcount > 1)
+            def _():
+                drain2(qhead)
 
-        qhead = jnp.where(qcount > 0, qhead + 1, qhead)
-        qcount = jnp.maximum(qcount - 1, 0)
+            @pl.when(qcount == 1)
+            def _():
+                drain(qhead)
+        else:
+            @pl.when(qcount > 0)
+            def _():
+                drain(qhead)
+
+        adv = jnp.minimum(qcount, 2 if agg else 1)
+        qhead = qhead + adv
+        qcount = qcount - adv
         return sp, qhead, qcount
 
     final = jax.lax.while_loop(
@@ -442,10 +519,10 @@ def _kernel(cols, any_hit, nodebox, childs, leafblocks, rayfeat,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "cols", "interpret",
-                                    "any_hit"))
+                                    "any_hit", "agg"))
 def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, planes,
                      n_blocks: int, cols: int, interpret: bool = False,
-                     any_hit: bool = False):
+                     any_hit: bool = False, agg: bool = False):
     plane = lambda: pl.BlockSpec(
         (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -454,7 +531,7 @@ def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, planes,
         jax.ShapeDtypeStruct((n_blocks * RAY_ROWS, LANES), jnp.float32),
     ]
     return pl.pallas_call(
-        _make_kernel(cols, any_hit),
+        _make_kernel(cols, any_hit, agg),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),          # nodebox
@@ -515,14 +592,20 @@ def build_rayfeat(origin, direction, ctr):
 
 
 def intersect_stream2(origin, direction, packed, active=None, sort=False,
-                      t_max=None, interpret=False, any_hit=False):
+                      t_max=None, interpret=False, any_hit=False, agg=None):
     """Closest hit via the MXU streaming kernel; same contract as
     intersect_bvh.  ``any_hit`` licenses first-occluder termination: the
     drain kills a ray's occlusion plane on its first genuine hit under
     the original cap, so later fat leaves never open for it (the model
     says shadow casts are the worst streaming regime; this trims their
     visits).  Requires CLIVE2_STREAM_OCC=1 (default); with culling off
-    the closest-under-cap answer is still a valid any-hit answer."""
+    the closest-under-cap answer is still a valid any-hit answer.
+    ``agg`` drains two ring slots per MXU pass (see drain2); None defers
+    to CLIVE2_STREAM_AGG, then the deployment-tuned ``stream_agg``."""
+    if agg is None:
+        from ..utils.tuned import tuned_default
+        agg = (os.environ.get("CLIVE2_STREAM_AGG")
+               or tuned_default("stream_agg", "0")) == "1"
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
                           active=active)
@@ -534,7 +617,7 @@ def intersect_stream2(origin, direction, packed, active=None, sort=False,
             origin[order], direction[order], packed,
             active=None if active is None else active[order], sort=False,
             t_max=None if t_max is None else t_max[order],
-            interpret=interpret, any_hit=any_hit,
+            interpret=interpret, any_hit=any_hit, agg=agg,
         )
         return i[inv], t[inv], u[inv], v[inv]
 
@@ -578,7 +661,7 @@ def intersect_stream2(origin, direction, packed, active=None, sort=False,
         return _traverse_blocks(
             packed["nodebox"], packed["childs"], packed["leafblocks"],
             rf, pls, blocks_count, cols, interpret=interpret,
-            any_hit=bool(any_hit and STREAM_OCC),
+            any_hit=bool(any_hit and STREAM_OCC), agg=bool(agg),
         )
 
     if n_super > 1:

@@ -34,6 +34,13 @@ if grep -q "stream2 coherent: id match 100" "$LOG"; then
   # deeper DMA ring at the model-preferred config
   CLIVE2_STREAM_ROWS=48 CLIVE2_STREAM_NBUF=8 \
     step 1800 python scripts/val_tpu_round3.py stream2
+  # dual-slot drain aggregation A/B (traverse_stream2.drain2): decides
+  # whether the ~160 ns/chunk-visit cost is fixed overhead (agg wins)
+  # or the matmul itself (agg loses); tune_from_session flips stream_agg
+  for rows in 32 48; do
+    CLIVE2_STREAM_ROWS=$rows \
+      step 1800 python scripts/val_tpu_round3.py stream2agg
+  done
   # end-to-end A/B on the big-scene bench configs (defaults use impl 1;
   # this row set decides whether to flip the scene.py default)
   CLIVE2_STREAM_IMPL=2 BENCH_CONFIGS=medium_dragon,big_dragon,sponza_1080p \

@@ -80,6 +80,16 @@ def decide(text):
         if all(wins):
             updates["wide_gate"] = "1"
 
+    # --- stream2 dual-slot drain aggregation --------------------------------
+    if check_pass(text, "stream2-agg"):
+        wins = []
+        for regime in ("coherent", "incoherent"):
+            base = bench_mrays(text, "stream2", regime)
+            ag = bench_mrays(text, "stream2-agg", regime)
+            wins.append(base is not None and ag is not None and ag > base)
+        if all(wins):
+            updates["stream_agg"] = "1"
+
     # --- streaming impl ----------------------------------------------------
     if check_pass(text, "stream2"):
         sections = parse_bench_sections(text)

@@ -7,7 +7,13 @@ Runs, in one process (one chip claim):
   3. wide-kernel correctness + throughput on a 47k-tri dragon-scale
      scene (the register-fold leaf phase).
 
-Usage: python scripts/val_tpu_round3.py [stream2|wide|all]
+The "stream2agg" mode runs ONLY the dual-slot drain aggregation A/B
+(intersect_stream2 agg=True — see traverse_stream2.drain2) so the
+session can pay its Mosaic compiles in a separate time-boxed step;
+tune_from_session.py flips the ``stream_agg`` tuned default when the
+agg rows match 100% and beat the plain stream2 rows in both regimes.
+
+Usage: python scripts/val_tpu_round3.py [stream2|stream2agg|wide|all]
 """
 
 import sys
@@ -90,7 +96,7 @@ def bench(name, fn, packed, n=1_000_000):
 def main():
     print("devices:", jax.devices(), flush=True)
 
-    if WHICH in ("stream2", "all"):
+    if WHICH in ("stream2", "stream2agg", "all"):
         from clive2_tpu.ops import traverse_stream2 as ts2
 
         soup = cluster_scene(200_000)
@@ -101,10 +107,16 @@ def main():
               f"{packed['leafblocks'].size*2/1e6:.0f} MB bf16", flush=True)
         ga = {k: jnp.asarray(v) for k, v in
               pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
-        fn = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
-            o, d, pk, sort=True))
-        check("stream2", fn, packed, ga)
-        bench("stream2", fn, packed)
+        if WHICH == "stream2agg":
+            fna = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
+                o, d, pk, sort=True, agg=True))
+            check("stream2-agg", fna, packed, ga)
+            bench("stream2-agg", fna, packed)
+        else:
+            fn = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
+                o, d, pk, sort=True, agg=False))
+            check("stream2", fn, packed, ga)
+            bench("stream2", fn, packed)
 
     if WHICH in ("wide", "all"):
         from clive2_tpu.ops import traverse_wide as tw

@@ -410,6 +410,41 @@ class TestTraverseStream2:
         hit = np.asarray(gi) >= 0
         assert (np.asarray(gt)[hit] <= np.asarray(t_max)[hit] * 1.0001).all()
 
+    def test_agg_drain_equals_single(self, rng):
+        """CLIVE2_STREAM_AGG dual-slot drain == single-slot drain: per-row
+        dot products are independent and the merge order (slot A then B)
+        matches the single path, so closest-hit results are identical —
+        the only semantic difference is WHEN the occlusion plane
+        refreshes, which is conservative-safe for closest-hit."""
+        _, _, packed, ga = self._packed(rng, t=1100)
+        o, d = _random_rays(rng, 600)
+        want = tstream2.intersect_stream2(o, d, packed, sort=True,
+                                          interpret=True, agg=False)
+        got = tstream2.intersect_stream2(o, d, packed, sort=True,
+                                         interpret=True, agg=True)
+        _assert_hits_equal(got, want, "stream2 agg")
+        # and both match the oracle
+        self._assert_mostly_equal(
+            got, intersect_bvh_packed(o, d, ga), "stream2 agg vs oracle")
+
+    def test_agg_any_hit_semantics(self, rng):
+        """agg drain under any_hit: blocked set == the oracle's under-cap
+        set; reported hits are genuine (the pair drain may report a
+        different — still genuine — occluder than the single drain)."""
+        _, _, packed, ga = self._packed(rng, t=900)
+        o, d = _random_rays(rng, 800)
+        t_max = jnp.asarray(rng.uniform(1.0, 14.0, 800).astype(np.float32))
+        gi, gt, _, _ = tstream2.intersect_stream2(
+            o, d, packed, sort=True, t_max=t_max, any_hit=True,
+            interpret=True, agg=True)
+        wi, wt, _, _ = intersect_bvh_packed(o, d, ga)
+        blocked_want = ((np.asarray(wi) >= 0)
+                        & (np.asarray(wt) < np.asarray(t_max)))
+        np.testing.assert_array_equal(np.asarray(gi) >= 0, blocked_want)
+        hit = np.asarray(gi) >= 0
+        assert (np.asarray(gt)[hit] < np.asarray(t_max)[hit] + 1e-6).all()
+        assert (np.asarray(gt)[hit] >= np.asarray(wt)[hit] - 1e-5).all()
+
     def test_capped_launches_equal_uncapped(self, rng, monkeypatch):
         _, _, packed, _ = self._packed(rng, t=900)
         n = 2 * tstream2.BLOCK_RAYS + 7
