@@ -197,6 +197,24 @@ def hot_leaf_coverage(vis_r, vis_f, order, n_rays, rows, n_fat, area,
     return ks, out
 
 
+def leaf_major_stats(vis_r, vis_f, n_rays, n_fat):
+    """Bound for a hypothetical LEAF-MAJOR drain: compact every ray
+    interested in fat leaf L into dense 128-ray chunks and stream each
+    live leaf once per wavefront.  Returns (chunk-visits/ray, interest
+    pairs/ray, live-leaf fraction).  The MXU work becomes
+    sum_L ceil(n_L/128) matmuls (vs the block-major unique-(chunk,leaf)
+    count); the fat-leaf DMA becomes one block per LIVE leaf per pass
+    (vs one per interested packet); the new glue is emitting + binning
+    the (ray, leaf) pairs (a sort or segment scatter over `pairs` keys)
+    plus gathering each pair's ray features ([K=64] bf16 = 128 B/pair if
+    done in HBM)."""
+    width = int(vis_f.max()) + 1 if len(vis_f) else 1
+    counts = np.bincount(vis_f.astype(np.int64), minlength=n_fat)
+    live = counts > 0
+    cv = np.ceil(counts[live] / LANES).sum() / n_rays
+    return cv, len(vis_r) / n_rays, live.sum() / max(n_fat, 1)
+
+
 def main():
     import jax.numpy as jnp
 
@@ -308,6 +326,17 @@ def main():
                                  f"@{mrays:7.1f}M")
                 print(line, flush=True)
                 if bpl == 1:
+                    lm_cv, lm_pairs, lm_live = leaf_major_stats(
+                        vr, vf, N_RAYS, n_fat)
+                    lm_mxu = 1.0 / (lm_cv * 160e-9) / 1e6
+                    lm_bytes = (lm_live * n_fat * STREAM2_BLOCK / N_RAYS
+                                + lm_pairs * 128)   # leaf blocks + rayfeat
+                    print(f"    leaf-major bound: {lm_cv:6.2f} "
+                          f"chunkvisits/ray mxu@{lm_mxu:7.1f}M  "
+                          f"{lm_pairs:5.1f} pairs/ray  "
+                          f"{lm_live*100:4.1f}% leaves live  "
+                          f"dma {lm_bytes/1e3:6.1f}kB/ray"
+                          f"@{HBM_BW/lm_bytes/1e6:7.1f}M", flush=True)
                     ks, cov = hot_leaf_coverage(vr, vf, order, N_RAYS, 32,
                                                 n_fat, fat_area)
                     print("    hot-leaf DMA coverage (R32): " + "  ".join(
