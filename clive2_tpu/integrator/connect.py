@@ -94,7 +94,7 @@ def connection_pairs(max_bounces: int = MAX_BOUNCES):
 
 def connect_paths(cam_path, light_path, scene, width: int, height: int,
                   max_bounces: int = MAX_BOUNCES,
-                  debug_per_strategy: bool = False):
+                  debug_per_strategy: bool = False, sort=None):
     """All-strategies BDPT connection for a wavefront of path pairs.
 
     cam_path / light_path: outputs of trace.trace_subpaths
@@ -103,6 +103,13 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
       contrib_weight_sum [N]
       light_image [H, W, 3]      (t == 1 splats, scatter-added)
       light_weight_image [H, W]
+
+    ``sort`` overrides the mega-cast Morton-sort policy (None = the
+    CLIVE2_CONNECT_SORT knob / per-path default).  The static-order
+    pipeline passes False: the cast is strategy-major over a
+    generation-ordered wavefront, and the host model measures the sort
+    flat on it even at sponza scale (cv 4.19 unsorted vs 4.00 sorted,
+    DMA within 2% — scripts/sort_inherit_ab.py "connect-like cast").
 
     debug_per_strategy: additionally return ``per_strategy``, a dict
     mapping (t, s) -> dict(weighted=[H, W, 3], unweighted=[H, W, 3],
@@ -182,7 +189,8 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
     flat = lambda a: a.reshape((p_cnt * n,) + a.shape[2:])
     hit_i, hit_t, _, _ = intersect_scene(
         flat(lv_o), flat(direction), scene, active=flat(active),
-        sort=CONNECT_SORT, t_max=flat(t_max), any_hit=any_hit,
+        sort=CONNECT_SORT if sort is None else sort,
+        t_max=flat(t_max), any_hit=any_hit,
     )
     cast_tri = hit_i.reshape(p_cnt, n)
     cast_t = hit_t.reshape(p_cnt, n)

@@ -15,9 +15,11 @@ halos become XLA collectives.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..constants import MAX_BOUNCES
@@ -26,13 +28,62 @@ from ..ops.filters import (
     finalize_samples,
     finalize_samples_scatter,
 )
-from .connect import connect_paths
+from .connect import CONNECT_SORT, connect_paths
 from .trace import (
+    TRACE_SORT,
     generate_camera_rays,
     generate_light_rays,
+    light_gen_key,
     trace_subpaths,
     unidirectional_image,
 )
+
+
+@functools.lru_cache(maxsize=8)
+def _morton_pixel_perm(rows: int, width: int):
+    """Static permutation putting a rows*width raster grid in 2D Morton
+    order.  Applied to the camera wavefront at GENERATION time it gives
+    every downstream cast sorted-quality packet coherence with zero
+    runtime sort glue: the host model measures Morton-pixel-order
+    camera rays at fresh-sort quality through the bounces
+    (scripts/sort_inherit_ab.py; raster order is 2.3x worse in MXU
+    chunk-visits at depth 0 on sponza)."""
+    yy, xx = np.mgrid[0:rows, 0:width]
+
+    def spread(v):                     # 16-bit -> even bits of 32
+        v = v.astype(np.uint64)
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    code = (spread(yy) << 1) | spread(xx)
+    return np.argsort(code.reshape(-1), kind="stable").astype(np.int32)
+
+
+def _wave_order(scene, mesh=None) -> str:
+    """Wavefront-order policy: "raster" (lane i = pixel i, the reference
+    layout) or "morton" (static Morton pixel order + generation-sorted
+    light rays + per-cast sorts OFF — see _morton_pixel_perm /
+    trace.light_gen_key).
+
+    CLIVE2_WAVE_ORDER ∈ {auto, raster, morton}.  auto: morton exactly
+    where casts would otherwise pay a per-cast Morton sort — the
+    streaming-kernel scenes — on an unsharded wavefront (sharded tiles
+    keep raster so pixel tiles stay contiguous per chip); the
+    deployment-tuned ``wave_order`` key (utils/tuned.py) can override
+    the auto choice from hardware A/B data."""
+    v = os.environ.get("CLIVE2_WAVE_ORDER", "auto")
+    if v in ("raster", "morton"):
+        return v
+    if mesh is not None:
+        return "raster"
+    if ("stream" in scene) or ("stream2" in scene):
+        from ..utils.tuned import tuned_default
+
+        return tuned_default("wave_order", "morton")
+    return "raster"
 
 
 def render_sample(key, scene, width: int, height: int,
@@ -63,6 +114,28 @@ def render_sample(key, scene, width: int, height: int,
         k_light, scene["lights"], scene["mat"], width * rows_eff
     )
 
+    order = _wave_order(scene, mesh)
+    if order == "morton":
+        # static-order pipeline: Morton-permute the camera wavefront once
+        # at generation (a compile-time-constant gather), sort the light
+        # wavefront once by its generation key, and run every cast with
+        # the per-depth/per-cast Morton sorts OFF — inherited order holds
+        # fresh-sort packet quality (scripts/sort_inherit_ab.py,
+        # key_ab_light.py) while the key+argsort+gather+scatter glue
+        # (~5x the resident-kernel time, round-2 measurement) vanishes
+        perm = jnp.asarray(_morton_pixel_perm(rows_eff, width))
+        cam_rays = jax.tree.map(lambda a: a[perm], cam_rays)
+        pixel_idx = pixel_idx[perm]
+        lorder = jnp.argsort(
+            light_gen_key(light_rays["origin"], light_rays["direction"])
+        )
+        light_rays = jax.tree.map(lambda a: a[lorder], light_rays)
+        # explicit CLIVE2_TRACE_SORT/CONNECT_SORT knobs still win
+        trace_sort = False if TRACE_SORT is None else None
+        connect_sort = False if CONNECT_SORT is None else None
+    else:
+        trace_sort = connect_sort = None
+
     if mesh is not None:
         constrain = lambda tree: jax.tree.map(
             lambda a: jax.lax.with_sharding_constraint(
@@ -85,7 +158,7 @@ def render_sample(key, scene, width: int, height: int,
         [jnp.ones((n,), bool), jnp.zeros((n,), bool)], axis=0
     )
     path = trace_subpaths(k_trace, merged, scene, from_camera=fc,
-                          max_bounces=max_bounces)
+                          max_bounces=max_bounces, sort=trace_sort)
     half = lambda tree, sl: jax.tree.map(lambda a: a[:, sl], tree)
     cam_path = dict(
         vertices=half(path["vertices"], slice(0, n)),
@@ -103,22 +176,34 @@ def render_sample(key, scene, width: int, height: int,
     uni = unidirectional_image(cam_path)
 
     conn = connect_paths(cam_path, light_path, scene, width, height,
-                         max_bounces=max_bounces)
+                         max_bounces=max_bounces, sort=connect_sort)
 
     weights = filter_weights(sensor_pos, pixel_idx, cam, width, height)
-    image, wimage = finalize_samples(
-        conn["contribution"], weights, conn["contrib_weight_sum"],
-        width, height,
-        row0=None if not chunked else row0, rows=None if not chunked else rows,
-    )
-
-    uni = uni.reshape(rows_eff, width, 3)
-    if chunked:
-        uni_full = jnp.zeros((height, width, 3), dtype=uni.dtype)
-        uni = jax.lax.dynamic_update_slice(
-            uni_full, uni, (jnp.asarray(row0, jnp.int32), jnp.int32(0),
-                            jnp.int32(0))
+    if order == "morton":
+        # lane order is arbitrary: assemble by pixel_idx scatter (the
+        # subset-path machinery), full-size outputs either way
+        image, wimage = finalize_samples_scatter(
+            conn["contribution"], weights, conn["contrib_weight_sum"],
+            pixel_idx, width, height,
         )
+        uni = jnp.zeros((height * width, 3), jnp.float32).at[pixel_idx].add(
+            uni, mode="drop"
+        ).reshape(height, width, 3)
+    else:
+        image, wimage = finalize_samples(
+            conn["contribution"], weights, conn["contrib_weight_sum"],
+            width, height,
+            row0=None if not chunked else row0,
+            rows=None if not chunked else rows,
+        )
+
+        uni = uni.reshape(rows_eff, width, 3)
+        if chunked:
+            uni_full = jnp.zeros((height, width, 3), dtype=uni.dtype)
+            uni = jax.lax.dynamic_update_slice(
+                uni_full, uni, (jnp.asarray(row0, jnp.int32), jnp.int32(0),
+                                jnp.int32(0))
+            )
 
     total_image = image + conn["light_image"]
     total_weight = wimage + conn["light_weight_image"]

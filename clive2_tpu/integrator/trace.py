@@ -57,6 +57,41 @@ def _sort_knob(name):
 TRACE_SORT = _sort_knob("CLIVE2_TRACE_SORT")
 
 
+def light_gen_key(origin, direction):
+    """Generation-time sort key for light-subpath wavefronts: coarse
+    position Morton (3 bits/axis, normalized to the wavefront's own
+    bounds) major, direction Morton (7 bits/axis) minor — 30 bits total.
+
+    Light origins lie ON the emitters, so the traversal sort key
+    (entry-point Morton, traverse_pallas2._morton_key) collapses them
+    into one position cell and light packets stay direction-divergent:
+    on the 1.3M-tri sponza model workload that key measures IDENTICAL to
+    unsorted (cv 2.87 both), while direction-major sorting is 2.8x
+    better on both MXU chunk-visits and fat-leaf DMA, and the sorted
+    order INHERITS through the first bounce at fresh-sort quality
+    (scripts/key_ab_light.py).  Coarse position bits keep multi-emitter
+    scenes grouped per emitter; within one small emitter they are
+    constant and direction decides."""
+    lo = jnp.min(origin, axis=0, keepdims=True)
+    hi = jnp.max(origin, axis=0, keepdims=True)
+
+    def cell(p, plo, phi, bits):
+        q = jnp.clip(
+            ((p - plo) / jnp.maximum(phi - plo, 1e-30)
+             * (1 << bits)).astype(jnp.uint32),
+            0, (1 << bits) - 1,
+        )
+        out = jnp.zeros(p.shape[:-1], jnp.uint32)
+        for b in range(bits):         # interleave x, y, z bit-by-bit
+            for ax in range(3):
+                out = out | (((q[..., ax] >> b) & 1) << (3 * b + (2 - ax)))
+        return out
+
+    pos = cell(origin, lo, hi, 3)                        # 9 bits
+    dcell = cell(direction, jnp.float32(-1.0), jnp.float32(1.0), 7)
+    return (pos << 21) | dcell
+
+
 def _take(tree, idx):
     return jax.tree.map(lambda a: gather_rows(a, idx), tree)
 
@@ -184,13 +219,21 @@ def _select_bounce(mat_type, f_lottery, fres, diffuse, reflect, transmit):
 
 
 def trace_subpaths(key, rays, pytree_scene, from_camera,
-                   max_bounces: int = MAX_BOUNCES):
+                   max_bounces: int = MAX_BOUNCES, sort=None):
     """Trace a wavefront of subpaths to ``max_bounces`` stored vertices.
 
     ``from_camera`` may be a python bool or a per-ray [N] bool array —
     the latter lets camera and light wavefronts trace as ONE merged scan
     (render.py does this: one traversal kernel instance instead of two,
     double-size packets).
+
+    ``sort`` overrides the extension-cast Morton-sort policy for this
+    trace (None = the CLIVE2_TRACE_SORT knob / per-path default).  The
+    static-wavefront-order pipeline (render.py wave order "morton")
+    passes False: a generation-time-ordered wavefront inherits packet
+    coherence through the bounces at fresh-sort quality
+    (scripts/sort_inherit_ab.py), so the per-depth key + argsort +
+    gather + inverse-scatter glue is pure overhead there.
 
     Returns a path pytree (depth-major layout — slicing one vertex level is
     a contiguous read, which matters on HBM):
@@ -204,6 +247,7 @@ def trace_subpaths(key, rays, pytree_scene, from_camera,
     """
     tri = pytree_scene["tri"]
     mat = pytree_scene["mat"]
+    cast_sort = TRACE_SORT if sort is None else sort
 
     n = rays["origin"].shape[0]
     fc = jnp.broadcast_to(jnp.asarray(from_camera, dtype=bool), (n,))
@@ -221,7 +265,7 @@ def trace_subpaths(key, rays, pytree_scene, from_camera,
         # docstring for the teapots-512 A/B that set this).
         hit_i, hit_t, hit_u, hit_v = intersect_scene(
             cur["origin"], cur["direction"], pytree_scene, active=active,
-            sort=TRACE_SORT,
+            sort=cast_sort,
         )
         hit_ok = hit_i >= 0
         safe_i = jnp.maximum(hit_i, 0)

@@ -14,6 +14,8 @@ Keys currently understood:
   stream_impl: "1" (VPU fat-leaf drain) | "2" (MXU bilinear-MT drain)
   wide_gate:   "0" | "1" (per-group leaf-MT gating in the BVH8 kernel)
   stream_agg:  "0" | "1" (stream2 dual-slot drain aggregation)
+  wave_order:  "morton" | "raster" (static wavefront order on streaming
+               scenes — integrator/render.py _wave_order)
 
 The AOT executable cache folds this file's content into its key
 (utils/aot.py), so a tuning flip can never serve a stale binary.

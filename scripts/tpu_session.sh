@@ -17,7 +17,9 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 
 step() {
   local t=$1; shift
-  echo "=== START $* ($(date))" >> "$LOG"
+  # the CLIVE2_* env marker lets tune_from_session tell A/B bench
+  # sections apart (e.g. the wave-order raster run vs the default run)
+  echo "=== START [$(env | grep '^CLIVE2_' | sort | tr '\n' ' ')] $* ($(date))" >> "$LOG"
   timeout "$t" "$@" >> "$LOG" 2>&1
   echo "=== rc=$? $* ($(date))" >> "$LOG"
 }
@@ -48,6 +50,13 @@ if grep -q "stream2 coherent: id match 100" "$LOG"; then
 else
   echo "=== stream2 correctness gate FAILED; skipping knob sweep" >> "$LOG"
 fi
+
+# wave-order A/B: auto default is morton on streaming scenes (static
+# generation-time order, zero per-cast sort glue — render.py _wave_order);
+# this raster-pinned run vs the default bench below decides whether the
+# tuner must override the model-guided default with hardware data
+CLIVE2_WAVE_ORDER=raster BENCH_CONFIGS=medium_dragon,big_dragon,sponza_1080p \
+  step 2400 python bench.py
 
 step 900 python scripts/shade_ab.py
 

@@ -11,6 +11,10 @@ Decisions (conservative — a flip requires BOTH correctness and a win):
                   losing on big_dragon.
   wide_gate=1     if the wide47k-gate check matched 100% in both regimes
                   and its bench beat the ungated wide47k in both.
+  wave_order=raster  if the CLIVE2_WAVE_ORDER=raster bench section beats
+                  the default (morton) section on every streaming config
+                  both report (correctness is estimator-invariant — lane
+                  order only re-pairs RNG streams — so no gate needed).
 
 Usage: python scripts/tune_from_session.py /tmp/tpu_queue.log
 """
@@ -23,13 +27,15 @@ sys.path.insert(0, ".")
 
 
 def parse_bench_sections(text):
-    """JSON rows per '=== START ... bench.py' section, in order."""
+    """(header, rows) per '=== START ... bench.py' section, in order.
+    The header is the full START line — tpu_session.sh's step() embeds
+    the CLIVE2_* env there so A/B sections are distinguishable."""
     sections = []
     cur = None
     for line in text.splitlines():
         if "=== START" in line and "bench.py" in line:
             cur = {}
-            sections.append(cur)
+            sections.append((line, cur))
         elif "=== START" in line:
             cur = None
         elif cur is not None and line.startswith("{"):
@@ -90,14 +96,34 @@ def decide(text):
         if all(wins):
             updates["stream_agg"] = "1"
 
+    sections = parse_bench_sections(text)
+    default = next((rows for hdr, rows in reversed(sections)
+                    if metric_value(rows, "cornell") is not None
+                    and "CLIVE2_WAVE_ORDER=raster" not in hdr), None)
+
+    # --- wavefront order (streaming scenes) --------------------------------
+    # auto default is morton (model-guided, render.py _wave_order); the
+    # raster-pinned section vs the default bench is the hardware A/B.
+    raster = next((rows for hdr, rows in sections
+                   if "CLIVE2_WAVE_ORDER=raster" in hdr
+                   and metric_value(rows, "sponza") is not None), None)
+    if raster and default:
+        wins = losses = 0
+        for needles in (("sponza",), ("871k", "big_dragon"),
+                        ("202", "medium_dragon")):
+            r = metric_value(raster, *needles)
+            m = metric_value(default, *needles)
+            if isinstance(r, (int, float)) and isinstance(m, (int, float)):
+                wins += r > m
+                losses += m > r
+        if wins and not losses:
+            updates["wave_order"] = "raster"
+
     # --- streaming impl ----------------------------------------------------
     if check_pass(text, "stream2"):
-        sections = parse_bench_sections(text)
-        ab = next((s for s in sections
-                   if metric_value(s, "sponza") is not None
-                   and metric_value(s, "cornell") is None), None)
-        default = next((s for s in reversed(sections)
-                        if metric_value(s, "cornell") is not None), None)
+        ab = next((rows for hdr, rows in sections
+                   if "CLIVE2_STREAM_IMPL=2" in hdr
+                   and metric_value(rows, "sponza") is not None), None)
         if ab and default:
             s2_sponza = metric_value(ab, "sponza")
             s1_sponza = metric_value(default, "sponza")

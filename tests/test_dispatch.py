@@ -119,10 +119,15 @@ def test_tune_from_session_decisions(tmp_path, monkeypatch):
         "wide47k-gate incoherent: id match 100.00%  hitrate 0.6/0.6",
         "wide47k-gate coherent:     8.0 ms ->  25.00 Mrays/s",
         "wide47k-gate incoherent:  16.0 ms ->  12.50 Mrays/s",
-        "=== START python bench.py (date)",       # the IMPL=2 A/B subset
+        # the IMPL=2 A/B subset (step() embeds CLIVE2_* env in the header)
+        "=== START [CLIVE2_STREAM_IMPL=2 ] python bench.py (date)",
         '{"metric": "sponza_1.3Mtris_1920x1080", "value": 2.5, "unit": "Mrays/s"}',
         '{"metric": "glass_dragon_871k_512x512", "value": 3.0, "unit": "Mrays/s"}',
-        "=== START python bench.py (date)",       # the default full run
+        # the wave-order A/B (raster loses to the morton default here)
+        "=== START [CLIVE2_WAVE_ORDER=raster ] python bench.py (date)",
+        '{"metric": "sponza_1.3Mtris_1920x1080", "value": 0.2, "unit": "Mrays/s"}',
+        '{"metric": "glass_dragon_871k_512x512", "value": 2.0, "unit": "Mrays/s"}',
+        "=== START [] python bench.py (date)",     # the default full run
         '{"metric": "cornell_256x256", "value": 120.0, "unit": "Mrays/s"}',
         '{"metric": "sponza_1.3Mtris_1920x1080", "value": 0.3, "unit": "Mrays/s"}',
         '{"metric": "glass_dragon_871k_512x512", "value": 2.9, "unit": "Mrays/s"}',
@@ -140,3 +145,16 @@ def test_tune_from_session_decisions(tmp_path, monkeypatch):
                              "wide47k-gate incoherent:  26.0 ms ->  "
                              "7.50 Mrays/s")
     assert "wide_gate" not in tfs.decide(slower)
+
+    # raster strictly beating morton on every reported config -> override
+    raster_wins = win_log.replace(
+        '"sponza_1.3Mtris_1920x1080", "value": 0.2',
+        '"sponza_1.3Mtris_1920x1080", "value": 0.5',
+    ).replace('"glass_dragon_871k_512x512", "value": 2.0',
+              '"glass_dragon_871k_512x512", "value": 3.5')
+    assert tfs.decide(raster_wins).get("wave_order") == "raster"
+    # a split decision (sponza wins, dragon loses) -> keep the default
+    split = win_log.replace('"sponza_1.3Mtris_1920x1080", "value": 0.2',
+                            '"sponza_1.3Mtris_1920x1080", "value": 0.5')
+    assert "wave_order" not in tfs.decide(split)
+    assert "wave_order" not in tfs.decide(win_log)
