@@ -73,16 +73,26 @@ def _wave_order(scene, mesh=None) -> str:
     streaming-kernel scenes — on an unsharded wavefront (sharded tiles
     keep raster so pixel tiles stay contiguous per chip); the
     deployment-tuned ``wave_order`` key (utils/tuned.py) can override
-    the auto choice from hardware A/B data."""
+    the auto choice from hardware A/B data.
+
+    Mid-size packet-kernel scenes (``pallas``/``wide``) default to
+    raster — their round-2 headline numbers were measured raster, and
+    the host model's depth-0 win there (cv 0.33 raster vs 0.11 morton
+    on the 47k dragon, scripts/sort_inherit_ab.py) is a VMEM-resident
+    regime where chunk-visits may not be the wall — but the tuned
+    ``wave_order_mid`` key flips them to morton when the queued
+    hardware A/B (tpu_session.sh) measures a win."""
     v = os.environ.get("CLIVE2_WAVE_ORDER", "auto")
     if v in ("raster", "morton"):
         return v
     if mesh is not None:
         return "raster"
-    if ("stream" in scene) or ("stream2" in scene):
-        from ..utils.tuned import tuned_default
+    from ..utils.tuned import tuned_default
 
+    if ("stream" in scene) or ("stream2" in scene):
         return tuned_default("wave_order", "morton")
+    if ("pallas" in scene) or ("wide" in scene):
+        return tuned_default("wave_order_mid", "raster")
     return "raster"
 
 

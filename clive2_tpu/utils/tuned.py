@@ -16,6 +16,8 @@ Keys currently understood:
   stream_agg:  "0" | "1" (stream2 dual-slot drain aggregation)
   wave_order:  "morton" | "raster" (static wavefront order on streaming
                scenes — integrator/render.py _wave_order)
+  wave_order_mid: same, for the VMEM-resident packet-kernel scenes
+               (pallas/wide paths; default raster)
 
 The AOT executable cache folds this file's content into its key
 (utils/aot.py), so a tuning flip can never serve a stale binary.

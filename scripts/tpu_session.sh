@@ -57,6 +57,11 @@ fi
 # tuner must override the model-guided default with hardware data
 CLIVE2_WAVE_ORDER=raster BENCH_CONFIGS=medium_dragon,big_dragon,sponza_1080p \
   step 2400 python bench.py
+# mid-size scenes default raster; this morton-pinned run vs the default
+# bench decides whether the tuner flips wave_order_mid (the host model
+# says depth-0 morton is 3x fewer chunk-visits on the 47k dragon)
+CLIVE2_WAVE_ORDER=morton BENCH_CONFIGS=teapots_512,dragon_512 \
+  step 1800 python bench.py
 
 step 900 python scripts/shade_ab.py
 

@@ -15,6 +15,9 @@ Decisions (conservative — a flip requires BOTH correctness and a win):
                   the default (morton) section on every streaming config
                   both report (correctness is estimator-invariant — lane
                   order only re-pairs RNG streams — so no gate needed).
+  wave_order_mid=morton  if the CLIVE2_WAVE_ORDER=morton teapots/dragon
+                  section beats the default (raster) section on every
+                  mid-size config both report.
 
 Usage: python scripts/tune_from_session.py /tmp/tpu_queue.log
 """
@@ -118,6 +121,23 @@ def decide(text):
                 losses += m > r
         if wins and not losses:
             updates["wave_order"] = "raster"
+
+    # --- wavefront order (mid-size packet-kernel scenes) --------------------
+    # default is raster; the morton-pinned teapots/dragon section vs the
+    # default bench decides whether morton's model win holds on hardware.
+    morton_mid = next((rows for hdr, rows in sections
+                       if "CLIVE2_WAVE_ORDER=morton" in hdr
+                       and metric_value(rows, "teapot") is not None), None)
+    if morton_mid and default:
+        wins = losses = 0
+        for needles in (("teapot",), ("47", "dragon_512")):
+            m = metric_value(morton_mid, *needles)
+            r = metric_value(default, *needles)
+            if isinstance(m, (int, float)) and isinstance(r, (int, float)):
+                wins += m > r
+                losses += r > m
+        if wins and not losses:
+            updates["wave_order_mid"] = "morton"
 
     # --- streaming impl ----------------------------------------------------
     if check_pass(text, "stream2"):

@@ -158,3 +158,24 @@ def test_tune_from_session_decisions(tmp_path, monkeypatch):
                             '"sponza_1.3Mtris_1920x1080", "value": 0.5')
     assert "wave_order" not in tfs.decide(split)
     assert "wave_order" not in tfs.decide(win_log)
+
+    # mid-size morton A/B: wins on both teapots + 47k dragon -> flip
+    mid = win_log + "\n" + "\n".join([
+        "=== START [CLIVE2_WAVE_ORDER=morton ] python bench.py (date)",
+        '{"metric": "teapots_ggx_512x512", "value": 30.0, "unit": "Mrays/s"}',
+        '{"metric": "glass_dragon_47k_512x512", "value": 9.0, "unit": "Mrays/s"}',
+    ])
+    assert "wave_order_mid" not in tfs.decide(mid)  # default lacks the rows
+    base_mid = "\n".join([
+        '{"metric": "teapots_ggx_512x512", "value": 22.6, "unit": "Mrays/s"}',
+        '{"metric": "glass_dragon_47k_512x512", "value": 6.8, "unit": "Mrays/s"}',
+    ])
+    mid = mid.replace('{"metric": "cornell_256x256", "value": 120.0, '
+                      '"unit": "Mrays/s"}',
+                      '{"metric": "cornell_256x256", "value": 120.0, '
+                      '"unit": "Mrays/s"}\n' + base_mid)
+    assert tfs.decide(mid).get("wave_order_mid") == "morton"
+    # teapots regresses -> no flip
+    tied = mid.replace('"teapots_ggx_512x512", "value": 30.0',
+                       '"teapots_ggx_512x512", "value": 20.0')
+    assert "wave_order_mid" not in tfs.decide(tied)

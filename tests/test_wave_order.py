@@ -68,6 +68,10 @@ class TestMortonPerm:
         assert _wave_order(scene.data) == "raster"
         # streaming scenes: auto goes morton
         assert _wave_order({"stream": {}, "tri": {}}) == "morton"
+        # mid-size packet-kernel scenes: raster until hardware flips the
+        # tuned wave_order_mid key
+        assert _wave_order({"pallas": {}, "tri": {}}) == "raster"
+        assert _wave_order({"wide": {}, "tri": {}}) == "raster"
         # sharded wavefronts keep raster tiles
         assert _wave_order({"stream": {}}, mesh=object()) == "raster"
         monkeypatch.setenv("CLIVE2_WAVE_ORDER", "morton")
