@@ -40,14 +40,8 @@ from .trace import (
 
 
 @functools.lru_cache(maxsize=8)
-def _morton_pixel_perm(rows: int, width: int):
-    """Static permutation putting a rows*width raster grid in 2D Morton
-    order.  Applied to the camera wavefront at GENERATION time it gives
-    every downstream cast sorted-quality packet coherence with zero
-    runtime sort glue: the host model measures Morton-pixel-order
-    camera rays at fresh-sort quality through the bounces
-    (scripts/sort_inherit_ab.py; raster order is 2.3x worse in MXU
-    chunk-visits at depth 0 on sponza)."""
+def _morton_codes(rows: int, width: int):
+    """2D Morton code per raster lane of a rows*width grid, flattened."""
     yy, xx = np.mgrid[0:rows, 0:width]
 
     def spread(v):                     # 16-bit -> even bits of 32
@@ -58,8 +52,43 @@ def _morton_pixel_perm(rows: int, width: int):
         v = (v | (v << 1)) & 0x55555555
         return v
 
-    code = (spread(yy) << 1) | spread(xx)
-    return np.argsort(code.reshape(-1), kind="stable").astype(np.int32)
+    return ((spread(yy) << 1) | spread(xx)).reshape(-1)
+
+
+@functools.lru_cache(maxsize=8)
+def _morton_pixel_perm(rows: int, width: int):
+    """Static permutation putting a rows*width raster grid in 2D Morton
+    order.  Applied to the camera wavefront at GENERATION time it gives
+    every downstream cast sorted-quality packet coherence with zero
+    runtime sort glue: the host model measures Morton-pixel-order
+    camera rays at fresh-sort quality through the bounces
+    (scripts/sort_inherit_ab.py; raster order is 2.3x worse in MXU
+    chunk-visits at depth 0 on sponza)."""
+    return np.argsort(_morton_codes(rows, width),
+                      kind="stable").astype(np.int32)
+
+
+@functools.lru_cache(maxsize=8)
+def _banded_morton_perm(rows: int, width: int, bands: int):
+    """Band-LOCAL Morton permutation: [bands, N//bands] indices into each
+    contiguous raster-lane chunk.  Under pixel-tile sharding each band is
+    exactly one device's lane chunk, so applying it as a banded
+    take_along_axis keeps the permutation gather shard-local — a global
+    Morton permutation would make GSPMD all-gather the wavefront."""
+    n = rows * width
+    code = _morton_codes(rows, width).reshape(bands, n // bands)
+    return np.argsort(code, axis=1, kind="stable").astype(np.int32)
+
+
+def _banded_take(tree, idx, bands: int):
+    """Gather ``idx`` ([bands, per] band-local indices) along the lane dim
+    of every leaf, reshaped so the gather never crosses band boundaries."""
+    def g(a):
+        b = a.reshape((bands, idx.shape[1]) + a.shape[1:])
+        ix = idx.reshape(idx.shape + (1,) * (a.ndim - 1))
+        return jnp.take_along_axis(b, ix, axis=1).reshape(a.shape)
+
+    return jax.tree.map(g, tree)
 
 
 def _wave_order(scene, mesh=None) -> str:
@@ -70,10 +99,13 @@ def _wave_order(scene, mesh=None) -> str:
 
     CLIVE2_WAVE_ORDER ∈ {auto, raster, morton}.  auto: morton exactly
     where casts would otherwise pay a per-cast Morton sort — the
-    streaming-kernel scenes — on an unsharded wavefront (sharded tiles
-    keep raster so pixel tiles stay contiguous per chip); the
-    deployment-tuned ``wave_order`` key (utils/tuned.py) can override
-    the auto choice from hardware A/B data.
+    streaming-kernel scenes.  Sharded wavefronts use the BAND-local
+    variant (each device's lane chunk is Morton-ordered in place, light
+    rays sort per band) so the order machinery stays collective-free —
+    the per-cast global argsort it replaces would be an all-to-all
+    every depth.  The deployment-tuned ``wave_order`` key
+    (utils/tuned.py) can override the auto choice from hardware A/B
+    data.
 
     Mid-size packet-kernel scenes (``pallas``/``wide``) default to
     raster — their round-2 headline numbers were measured raster, and
@@ -85,8 +117,6 @@ def _wave_order(scene, mesh=None) -> str:
     v = os.environ.get("CLIVE2_WAVE_ORDER", "auto")
     if v in ("raster", "morton"):
         return v
-    if mesh is not None:
-        return "raster"
     from ..utils.tuned import tuned_default
 
     if ("stream" in scene) or ("stream2" in scene):
@@ -125,6 +155,9 @@ def render_sample(key, scene, width: int, height: int,
     )
 
     order = _wave_order(scene, mesh)
+    bands = int(mesh.shape["tiles"]) if mesh is not None else 1
+    if order == "morton" and (width * rows_eff) % max(bands, 1):
+        order = "raster"        # banded layout needs equal lane chunks
     if order == "morton":
         # static-order pipeline: Morton-permute the camera wavefront once
         # at generation (a compile-time-constant gather), sort the light
@@ -132,14 +165,23 @@ def render_sample(key, scene, width: int, height: int,
         # the per-depth/per-cast Morton sorts OFF — inherited order holds
         # fresh-sort packet quality (scripts/sort_inherit_ab.py,
         # key_ab_light.py) while the key+argsort+gather+scatter glue
-        # (~5x the resident-kernel time, round-2 measurement) vanishes
-        perm = jnp.asarray(_morton_pixel_perm(rows_eff, width))
-        cam_rays = jax.tree.map(lambda a: a[perm], cam_rays)
-        pixel_idx = pixel_idx[perm]
-        lorder = jnp.argsort(
-            light_gen_key(light_rays["origin"], light_rays["direction"])
-        )
-        light_rays = jax.tree.map(lambda a: a[lorder], light_rays)
+        # (~5x the resident-kernel time, round-2 measurement) vanishes.
+        # Sharded: both the permutation and the light sort are BAND-local
+        # (one band = one device's lane chunk), so they compile to
+        # shard-local gathers — no collectives.
+        lkey = light_gen_key(light_rays["origin"], light_rays["direction"])
+        if bands == 1:
+            perm = jnp.asarray(_morton_pixel_perm(rows_eff, width))
+            cam_rays = jax.tree.map(lambda a: a[perm], cam_rays)
+            pixel_idx = pixel_idx[perm]
+            lorder = jnp.argsort(lkey)
+            light_rays = jax.tree.map(lambda a: a[lorder], light_rays)
+        else:
+            idx = jnp.asarray(_banded_morton_perm(rows_eff, width, bands))
+            cam_rays = _banded_take(cam_rays, idx, bands)
+            pixel_idx = _banded_take(pixel_idx, idx, bands)
+            lord = jnp.argsort(lkey.reshape(bands, -1), axis=1)
+            light_rays = _banded_take(light_rays, lord, bands)
         # explicit CLIVE2_TRACE_SORT/CONNECT_SORT knobs still win
         trace_sort = False if TRACE_SORT is None else None
         connect_sort = False if CONNECT_SORT is None else None
