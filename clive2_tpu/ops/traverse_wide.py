@@ -53,8 +53,28 @@ STACK_DEPTH = 256              # only inner wide nodes are ever pushed
 WIDE = 8                       # children per node
 LEAF_COLS = 16                 # v0(3) e1(3) e2(3) tri(1) pad(6)
 BOX_FIELDS = 6                 # minx miny minz maxx maxy maxz
-BIG = 1e30                     # empty-child box sentinel (never hits)
+BIG = 1e30                     # empty-child box sentinel (never hits):
+                               # min = max = +BIG.  NOT the inverted box
+                               # (min=+BIG, max=-BIG) — the kernel's slab
+                               # test orders t0/t1 per axis (min/max),
+                               # which un-inverts it into an always-hit;
+                               # harmless when empty slots read the
+                               # node's own inert tile (padded layout),
+                               # but the compact roll would expose
+                               # foreign leaves to those phantom hits.
 INF = float("inf")
+
+# COMPACT leaf layout: 12 pad-free slots of 10 columns per 128-lane page
+# (lanes 120-127 unused) instead of 8 slots of 16 — 1.5x more leaves per
+# VMEM byte before bin-packing gains.  The kernel still requires the
+# node's leaf children at tile columns c*cols, so each node's page view
+# is ROLLED left by its slot shift (lblocks encodes page*32 + shift);
+# the shift is bounded by C_SLOTS - WIDE = 4 slots, which keeps every
+# live lane (<= 119 pre-roll) and the 8 pad lanes (>= 120 - 40 = 80
+# post-roll, just past the last touched tile lane 79) wrap-free.
+C_SLOTS = 12
+C_LEAF_COLS = 10
+C_SHIFT_MOD = 32               # lblocks = page * 32 + slot shift
 
 import os
 
@@ -63,7 +83,7 @@ import os
 MAX_BLOCKS_PER_CALL = int(os.environ.get("CLIVE2_PALLAS_MAX_BLOCKS", 2048))
 
 
-def _make_kernel(any_hit: bool, group_gate: bool):
+def _make_kernel(any_hit: bool, group_gate: bool, compact: bool = False):
     """``any_hit`` compiles the shadow-ray variant (first-hit termination;
     see traverse_pallas2._make_kernel for the contract).  ``group_gate``
     wraps each ray-group's leaf MT in a lax.cond on a scalar any-reduce of
@@ -73,11 +93,12 @@ def _make_kernel(any_hit: bool, group_gate: bool):
     typically hit a given child, but each cond adds a serial
     reduce->branch to the critical path (the binary kernel measured ~550
     cycles per serialized scalar window), so the sign of the win is
-    scene-dependent."""
-    return functools.partial(_kernel, any_hit, group_gate)
+    scene-dependent.  ``compact`` selects the 12-slot pad-free leaf page
+    layout (one extra dynamic lane roll per leaf-phase node)."""
+    return functools.partial(_kernel, any_hit, group_gate, compact)
 
 
-def _kernel(any_hit, group_gate, wideboxes, childs, lblocks, leaff,
+def _kernel(any_hit, group_gate, compact, wideboxes, childs, lblocks, leaff,
             ox, oy, oz, dx, dy, dz, act, tm,
             out_t, out_i, out_u, out_v, stack):
     tiny = jnp.float32(1e-30)
@@ -264,12 +285,23 @@ def _kernel(any_hit, group_gate, wideboxes, childs, lblocks, leaff,
 
         @pl.when((lb >= 0) & leaf_any)
         def _():
-            base = pl.multiple_of(lb * LANES, LANES)
-            grpleaf = leaff[:, pl.ds(base, LANES)]         # [8, 128]
+            if compact:
+                pg = lb // C_SHIFT_MOD
+                sh = lb - pg * C_SHIFT_MOD
+                base = pl.multiple_of(pg * LANES, LANES)
+                page = leaff[:, pl.ds(base, LANES)]        # [8, 128]
+                # slot shift -> child alignment: child c's tile lands at
+                # columns c*C_LEAF_COLS (wrap-free; see layout note)
+                grpleaf = pltpu.roll(page, shift=-sh * C_LEAF_COLS, axis=1)
+                cols = C_LEAF_COLS
+            else:
+                base = pl.multiple_of(lb * LANES, LANES)
+                grpleaf = leaff[:, pl.ds(base, LANES)]     # [8, 128]
+                cols = LEAF_COLS
             for c in range(WIDE):
                 @pl.when(hit_c[c] & (refs[c] < 0))
                 def _(c=c):
-                    tile = grpleaf[:, c * LEAF_COLS:(c + 1) * LEAF_COLS]
+                    tile = grpleaf[:, c * cols:(c + 1) * cols]
                     leaf_slot_mt(tile, [m[c:c + 1, :] for m in masks])
 
         return sp
@@ -279,10 +311,11 @@ def _kernel(any_hit, group_gate, wideboxes, childs, lblocks, leaff,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "interpret", "any_hit",
-                                    "group_gate"))
+                                    "group_gate", "compact"))
 def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
                      n_blocks: int, interpret: bool = False,
-                     any_hit: bool = False, group_gate: bool = False):
+                     any_hit: bool = False, group_gate: bool = False,
+                     compact: bool = False):
     plane = lambda: pl.BlockSpec(
         (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -294,7 +327,7 @@ def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
         jax.ShapeDtypeStruct(shape, jnp.float32),
     ]
     return pl.pallas_call(
-        _make_kernel(any_hit, group_gate),
+        _make_kernel(any_hit, group_gate, compact),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wideboxes
@@ -317,12 +350,16 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
     """Closest hit via the BVH8 kernel; same contract as intersect_bvh.
     ``any_hit`` licenses first-hit termination (see intersect_pallas2).
     ``group_gate`` (None -> CLIVE2_WIDE_GATE env, default off) skips the
-    leaf MT for ray-groups whose box-hit mask is empty — see _make_kernel."""
+    leaf MT for ray-groups whose box-hit mask is empty — see _make_kernel.
+    The compact 12-slot leaf layout is selected by the ``packed`` dict
+    itself (a ``compact`` marker entry written by pack_bvh8) — pytree
+    structure, so the choice stays static under jit."""
     if group_gate is None:
         from ..utils.tuned import tuned_default
 
         group_gate = (os.environ.get("CLIVE2_WIDE_GATE")
                       or tuned_default("wide_gate", "0")) == "1"
+    compact = "compact" in packed
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
                           active=active)
@@ -370,7 +407,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
             lambda r: _traverse_blocks(
                 packed["wideboxes"], packed["childs"], packed["lblocks"],
                 packed["leaff"], r, cap, interpret=interpret,
-                any_hit=any_hit, group_gate=group_gate,
+                any_hit=any_hit, group_gate=group_gate, compact=compact,
             ),
             stacked,
         )
@@ -379,7 +416,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
         t, i, u, v = _traverse_blocks(
             packed["wideboxes"], packed["childs"], packed["lblocks"],
             packed["leaff"], rays, n_blocks, interpret=interpret,
-            any_hit=any_hit, group_gate=group_gate,
+            any_hit=any_hit, group_gate=group_gate, compact=compact,
         )
     reshape = lambda a: a.reshape(n_pad)[:n]
     i = reshape(i)
@@ -434,23 +471,36 @@ def collapse_bvh8(bvh):
     return wide_children, wide_of
 
 
-def pack_bvh8(bvh, soup, leaf=None):
+def pack_bvh8(bvh, soup, leaf=None, compact=False):
     """FlatBVH -> BVH8 layout (see module docstring for the shapes).
 
     Leaf pages are SLOT-PACKED: a 128-lane page holds 8 slots of
-    LEAF_COLS columns, and several wide nodes SHARE one page (first-fit-
-    decreasing bin packing of each node's leaf-child count).  The kernel
-    requires slot index == child index, so instead of telling the kernel
-    where a node's slots start, the node's CHILDREN ARE REORDERED at pack
-    time: its leaf children are assigned child indices equal to the page
-    slots they received, and inner children fill the remaining indices.
-    Child order within a wide node is semantically free (the kernel's
-    nearest-first pop is order-independent), so this costs nothing and
-    shrinks the VMEM leaf table ~2.5-2.8x (measured 37-43% slot occupancy
-    on dragon-scale scenes with one page per node), moving the wide
-    kernel's scene ceiling from ~45k to ~100k triangles.
+    LEAF_COLS columns (``compact=True``: 12 pad-free slots of
+    C_LEAF_COLS), and several wide nodes SHARE one page (first-fit-
+    decreasing bin packing of each node's leaf-child count).  In the
+    default layout the kernel requires slot index == child index, so
+    instead of telling the kernel where a node's slots start, the node's
+    CHILDREN ARE REORDERED at pack time: its leaf children are assigned
+    child indices equal to the page slots they received, and inner
+    children fill the remaining indices.  Child order within a wide node
+    is semantically free (the kernel's nearest-first pop is
+    order-independent), so this costs nothing and shrinks the VMEM leaf
+    table ~2.5-2.8x (measured 37-43% slot occupancy on dragon-scale
+    scenes with one page per node), moving the wide kernel's scene
+    ceiling from ~45k to ~100k triangles.
+
+    ``compact=True`` drops the 6 pad columns per slot: leaf children take
+    child indices 0..k-1, their slots are a contiguous run [s0, s0+k) in
+    a 12-slot page, and ``lblocks`` encodes page*C_SHIFT_MOD + s0 so the
+    kernel can roll the page into child alignment.  The run always fits
+    wrap-free (s0 + k <= C_SLOTS = 12, and 12*C_LEAF_COLS = 120 <= 128);
+    VMEM shrinks a further 1.5x+ (ceiling ~100k -> ~150k triangles) for
+    one extra dynamic lane roll per leaf-phase node.
     """
     from ..bvh.build import leaf_tables
+
+    slots_page = C_SLOTS if compact else WIDE
+    cols = C_LEAF_COLS if compact else LEAF_COLS
 
     wide_children, wide_of = collapse_bvh8(bvh)
     n_wide = len(wide_children)
@@ -458,8 +508,7 @@ def pack_bvh8(bvh, soup, leaf=None):
 
     n_pad = ((n_wide + LANES - 1) // LANES) * LANES
     wideboxes = np.zeros((BOX_FIELDS * WIDE, n_pad), dtype=np.float32)
-    wideboxes[0 * WIDE:3 * WIDE] = BIG       # empty slots: min=+BIG
-    wideboxes[3 * WIDE:6 * WIDE] = -BIG      # empty slots: max=-BIG
+    wideboxes[:] = BIG                       # empty slots: min=max=+BIG
     childs = np.full((n_wide * WIDE,), -1, dtype=np.int32)
     lblocks = np.full((n_wide,), -1, dtype=np.int32)
 
@@ -475,13 +524,13 @@ def pack_bvh8(bvh, soup, leaf=None):
         (w for w in range(n_wide) if split[w][0]),
         key=lambda w: -len(split[w][0]),
     )
-    free_pages = {k: [] for k in range(1, WIDE + 1)}  # free slots -> pages
+    free_pages = {k: [] for k in range(1, slots_page + 1)}
     page_used = []                           # page id -> slots consumed
     start = {}                               # node -> (page, first slot)
     for w in order:
         k = len(split[w][0])
         pg = -1
-        for free in range(k, WIDE + 1):      # tightest fit first
+        for free in range(k, slots_page + 1):  # tightest fit first
             if free_pages[free]:
                 pg = free_pages[free].pop()
                 break
@@ -490,50 +539,57 @@ def pack_bvh8(bvh, soup, leaf=None):
             page_used.append(0)
         start[w] = (pg, page_used[pg])
         page_used[pg] += k
-        left = WIDE - page_used[pg]
+        left = slots_page - page_used[pg]
         if left > 0:
             free_pages[left].append(pg)
 
     # --- pass 2: emit boxes/childs with leaf children at their slots ---
-    blocks = [[-1] * WIDE for _ in page_used]   # page -> slot -> leaf id
+    blocks = [[-1] * slots_page for _ in page_used]  # page -> slot -> leaf
     for w in range(n_wide):
         lf, inr = split[w]
         if lf:
             pg, s0 = start[w]
-            lblocks[w] = pg
+            lblocks[w] = pg * C_SHIFT_MOD + s0 if compact else pg
         b_of_leaf = {int(bvh.leaf_id[b]): b for b in wide_children[w]
                      if is_leaf[b]}
-        leaf_slots = list(range(s0, s0 + len(lf))) if lf else []
-        inner_slots = [c for c in range(WIDE) if c not in leaf_slots]
+        if compact:
+            # leaf children take child indices 0..k-1; page slot = s0 + c
+            leaf_cs = list(range(len(lf)))
+            slot_of = {c: s0 + c for c in leaf_cs}
+        else:
+            leaf_cs = list(range(s0, s0 + len(lf))) if lf else []
+            slot_of = {c: c for c in leaf_cs}
+        inner_cs = [c for c in range(WIDE) if c not in leaf_cs]
         placed = (
-            [(c, b_of_leaf[lid], lid) for c, lid in zip(leaf_slots, lf)]
-            + [(c, b, -1) for c, b in zip(inner_slots, inr)]
+            [(c, b_of_leaf[lid], lid) for c, lid in zip(leaf_cs, lf)]
+            + [(c, b, -1) for c, b in zip(inner_cs, inr)]
         )
         for c, b, lid in placed:
             for f in range(BOX_FIELDS):
                 src = bvh.node_mins if f < 3 else bvh.node_maxes
                 wideboxes[f * WIDE + c, w] = src[b][f % 3]
             if lid >= 0:
-                blocks[pg][c] = lid
+                blocks[pg][slot_of[c]] = lid
             else:
                 childs[w * WIDE + c] = wide_of[b]
 
     n_blocks_leaf = max(len(blocks), 1)
     leaff = np.zeros((SUBLANES, n_blocks_leaf * LANES), dtype=np.float32)
-    leaff[:, 9::LEAF_COLS] = -1.0            # default: inert slots
+    for s in range(slots_page):              # default: inert slots
+        leaff[:, s * cols + 9::LANES] = -1.0
     lv0, le1, le2 = tables["v0"], tables["e1"], tables["e2"]
     ltri = tables["tri_index"].astype(np.float32)
     for bi, blk in enumerate(blocks):
-        for c, lid in enumerate(blk):
+        for s, lid in enumerate(blk):
             if lid < 0:
                 continue
-            base = bi * LANES + c * LEAF_COLS
+            base = bi * LANES + s * cols
             leaff[:, base + 0:base + 3] = lv0[lid]
             leaff[:, base + 3:base + 6] = le1[lid]
             leaff[:, base + 6:base + 9] = le2[lid]
             leaff[:, base + 9] = ltri[lid]
 
-    return dict(
+    out = dict(
         wideboxes=wideboxes,
         childs=childs,
         lblocks=lblocks,
@@ -541,6 +597,9 @@ def pack_bvh8(bvh, soup, leaf=None):
         lo=bvh.node_mins[0].astype(np.float32),
         hi=bvh.node_maxes[0].astype(np.float32),
     )
+    if compact:
+        out["compact"] = np.int32(1)         # pytree marker, see
+    return out                               # intersect_wide
 
 
 def smem_bytes(packed) -> int:

@@ -259,9 +259,25 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
         # cost extends the ceiling), then the streaming kernel.
         force = os.environ.get("CLIVE2_TRAVERSAL", "")
 
+        # CLIVE2_WIDE_COMPACT=1 forces the 12-slot pad-free leaf layout
+        # (A/B knob; default from the tuned file, else only when the
+        # padded layout misses the VMEM budget)
+        from .utils.tuned import tuned_default
+
+        wide_compact = (os.environ.get("CLIVE2_WIDE_COMPACT")
+                        or tuned_default("wide_compact", "0")) == "1"
+
+        def pack_wide():
+            pw = twide.pack_bvh8(bvh, world, leaf=leafs,
+                                 compact=wide_compact)
+            if (not wide_compact
+                    and twide.vmem_bytes(pw) > PALLAS_VMEM_BUDGET):
+                pw = twide.pack_bvh8(bvh, world, leaf=leafs, compact=True)
+            return pw
+
         if _on_tpu():
             if force == "wide":
-                packed_w = twide.pack_bvh8(bvh, world, leaf=leafs)
+                packed_w = pack_wide()
                 data["wide"] = {k: dev(v) for k, v in packed_w.items()}
                 return data, bvh, cam_ids
             packed = None
@@ -276,7 +292,7 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
             if packed is None and force == "":
                 # scenes past the binary kernel's SMEM ceiling but inside
                 # the wide kernel's VMEM budget use BVH8 (~0.6 B/tri SMEM)
-                packed_w = twide.pack_bvh8(bvh, world, leaf=leafs)
+                packed_w = pack_wide()
                 if (
                     twide.smem_bytes(packed_w) <= PALLAS_SMEM_BUDGET
                     and twide.vmem_bytes(packed_w) <= PALLAS_VMEM_BUDGET

@@ -13,6 +13,8 @@ entirely (the test suite does this for hermeticity).
 Keys currently understood:
   stream_impl: "1" (VPU fat-leaf drain) | "2" (MXU bilinear-MT drain)
   wide_gate:   "0" | "1" (per-group leaf-MT gating in the BVH8 kernel)
+  wide_compact: "0" | "1" (12-slot pad-free BVH8 leaf pages; always used
+               as the VMEM-budget fallback regardless of this default)
   stream_agg:  "0" | "1" (stream2 dual-slot drain aggregation)
   wave_order:  "morton" | "raster" (static wavefront order on streaming
                scenes — integrator/render.py _wave_order)

@@ -89,6 +89,20 @@ def decide(text):
         if all(wins):
             updates["wide_gate"] = "1"
 
+    # --- wide-kernel compact 12-slot leaf layout -----------------------------
+    wins = []
+    for tag in ("wide47k", "wide90k"):
+        if not check_pass(text, tag + "-compact"):
+            wins = [False]
+            break
+        for regime in ("coherent", "incoherent"):
+            base = bench_mrays(text, tag, regime)
+            comp = bench_mrays(text, tag + "-compact", regime)
+            wins.append(base is not None and comp is not None
+                        and comp > base)
+    if wins and all(wins):
+        updates["wide_compact"] = "1"
+
     # --- stream2 dual-slot drain aggregation --------------------------------
     if check_pass(text, "stream2-agg"):
         wins = []

@@ -143,6 +143,28 @@ def main():
                     o, d, pk, group_gate=True))
                 check(tag + "-gate", fng, packed, ga)
                 bench(tag + "-gate", fng, packed)
+            # compact 12-slot leaf layout A/B (CLIVE2_WIDE_COMPACT):
+            # ~1.5x smaller VMEM leaf table for one extra dynamic lane
+            # roll per leaf-phase node; also decides the big-scene
+            # ceiling (compact extends wide to ~150k tris)
+            packed_c = {k: jnp.asarray(v) for k, v in
+                        tw.pack_bvh8(bvh, soup, compact=True).items()}
+            check(tag + "-compact", fn, packed_c, ga)
+            bench(tag + "-compact", fn, packed_c)
+
+        # the compact-only window: scenes past the padded layout's VMEM
+        # budget that now stay resident instead of streaming
+        soup = cluster_scene(150_000, seed=3)
+        bvh = build_bvh(soup)
+        packed_np = tw.pack_bvh8(bvh, soup, compact=True)
+        print(f"wide150k-compact: vmem {tw.vmem_bytes(packed_np)/2**20:.2f}"
+              f" MB smem {tw.smem_bytes(packed_np)/1024:.0f} KB", flush=True)
+        packed = {k: jnp.asarray(v) for k, v in packed_np.items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        fn = jax.jit(lambda o, d, pk: tw.intersect_wide(o, d, pk))
+        check("wide150k-compact", fn, packed, ga)
+        bench("wide150k-compact", fn, packed)
 
 
 if __name__ == "__main__":

@@ -244,6 +244,40 @@ class TestTraverseWide:
         want = intersect_bvh_packed(o, d, ga)
         _assert_hits_equal(got, want, "wide shared pages")
 
+    @pytest.mark.parametrize("t", [41, 700])
+    def test_compact_layout_matches(self, rng, t):
+        """The 12-slot pad-free leaf layout (compact=True) is a pure
+        memory-layout change: identical hits to the gather-walk oracle,
+        under an active mask and any_hit, and >= 1.4x smaller leaf
+        table than the padded 8-slot layout."""
+        from clive2_tpu.ops import traverse_wide as tw
+
+        soup = _random_soup(rng, t)
+        bvh = build_bvh(soup)
+        pc = tw.pack_bvh8(bvh, soup, compact=True)
+        pn = tw.pack_bvh8(bvh, soup)
+        if t >= 500:    # tiny scenes fit one page in both layouts
+            assert pn["leaff"].size >= 1.4 * pc["leaff"].size
+        # coverage: every triangle in exactly one compact slot
+        tri = np.asarray(pc["leaff"]).reshape(tw.SUBLANES, -1, tw.LANES)
+        tri = tri[:, :, [s * tw.C_LEAF_COLS + 9
+                         for s in range(tw.C_SLOTS)]].ravel()
+        tri = tri[tri >= 0].astype(np.int64)
+        assert len(tri) == len(soup) and len(np.unique(tri)) == len(soup)
+
+        pj = {k: jnp.asarray(v) for k, v in pc.items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 1100)
+        active = jnp.asarray(rng.uniform(size=1100) < 0.7)
+        got = tw.intersect_wide(o, d, pj, active=active, sort=True,
+                                interpret=True)
+        want = intersect_bvh_packed(o, d, ga, active=active)
+        _assert_hits_equal(got, want, f"wide compact t={t}")
+        ah_i = np.asarray(tw.intersect_wide(o, d, pj, active=active,
+                                            interpret=True, any_hit=True)[0])
+        assert ((ah_i >= 0) == (np.asarray(want[0]) >= 0)).all()
+
 
 class TestTraverseStream:
     """Streaming (HBM fat-leaf DMA) kernel: ops/traverse_stream.py."""
