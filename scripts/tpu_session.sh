@@ -24,7 +24,10 @@ step() {
   echo "=== rc=$? $* ($(date))" >> "$LOG"
 }
 
-step 3600 python scripts/val_tpu_round3.py all
+# split the gates so an overrun in one section cannot starve the other
+# (the wide section now carries 3 extra Mosaic compiles: the compact rows)
+step 2400 python scripts/val_tpu_round3.py stream2
+step 3600 python scripts/val_tpu_round3.py wide
 
 if grep -q "stream2 coherent: id match 100" "$LOG"; then
   for rows in 32 48; do
