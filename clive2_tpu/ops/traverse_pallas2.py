@@ -166,13 +166,21 @@ def _kernel(any_hit, nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
                 axis=0, keepdims=True
             )
             sel_i = pick(tri_f)
-            sel_u = pick(jnp.where(is_best, u, 0.0))
-            sel_v = pick(jnp.where(is_best, v, 0.0))
             out_t[g:g + 1, :] = jnp.where(found, tmin, rbt_row)
             out_i[g:g + 1, :] = jnp.where(
                 found, sel_i.astype(jnp.int32), out_i[g:g + 1, :])
-            out_u[g:g + 1, :] = jnp.where(found, sel_u, out_u[g:g + 1, :])
-            out_v[g:g + 1, :] = jnp.where(found, sel_v, out_v[g:g + 1, :])
+            if not any_hit:
+                # shadow casts never read u/v — skipping the two pick
+                # chains and, more importantly, the two serialized
+                # [1, 128] VMEM read-modify-writes per (group, leaf
+                # visit) (see traverse_wide's register-fold note for
+                # what that RMW pattern costs)
+                sel_u = pick(jnp.where(is_best, u, 0.0))
+                sel_v = pick(jnp.where(is_best, v, 0.0))
+                out_u[g:g + 1, :] = jnp.where(found, sel_u,
+                                              out_u[g:g + 1, :])
+                out_v[g:g + 1, :] = jnp.where(found, sel_v,
+                                              out_v[g:g + 1, :])
 
     stack[0] = 0
     # outputs double as best-hit accumulators; best-t starts at the

@@ -222,12 +222,14 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
                     )
                     cur_t = jnp.where(ok, t, cur_t)
                     cur_i = jnp.where(ok, jnp.int32(tri_f), cur_i)
-                    cur_u = jnp.where(ok, u, cur_u)
-                    cur_v = jnp.where(ok, v, cur_v)
+                    if not any_hit:   # shadow casts never read u/v
+                        cur_u = jnp.where(ok, u, cur_u)
+                        cur_v = jnp.where(ok, v, cur_v)
                 out_t[:] = cur_t
                 out_i[:] = cur_i
-                out_u[:] = cur_u
-                out_v[:] = cur_v
+                if not any_hit:
+                    out_u[:] = cur_u
+                    out_v[:] = cur_v
 
     # ---- drain v3: rays-in-sublanes x tris-in-lanes dense cross ------------
     # One op block per ray lane-column: the 32 rays of packet lane l (a
@@ -316,20 +318,24 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
                 axis=1, keepdims=True,
             )
             sel_i = pick(tri_f)
-            sel_u = pick(jnp.where(is_best, u, 0.0))
-            sel_v = pick(jnp.where(is_best, v, 0.0))
 
             upd = (lane == l) & jnp.broadcast_to(found, (RAY_ROWS, LANES))
             bc = lambda r: jnp.broadcast_to(r, (RAY_ROWS, LANES))
             acc_t = jnp.where(upd, bc(t_red), acc_t)
             acc_i = jnp.where(upd, bc(sel_i.astype(jnp.int32)), acc_i)
-            acc_u = jnp.where(upd, bc(sel_u), acc_u)
-            acc_v = jnp.where(upd, bc(sel_v), acc_v)
+            if not any_hit:
+                # shadow casts never read u/v: skip their pick chains
+                # and merges (drain op count IS this kernel's wall)
+                sel_u = pick(jnp.where(is_best, u, 0.0))
+                sel_v = pick(jnp.where(is_best, v, 0.0))
+                acc_u = jnp.where(upd, bc(sel_u), acc_u)
+                acc_v = jnp.where(upd, bc(sel_v), acc_v)
 
         out_t[:] = acc_t
         out_i[:] = acc_i
-        out_u[:] = acc_u
-        out_v[:] = acc_v
+        if not any_hit:
+            out_u[:] = acc_u
+            out_v[:] = acc_v
 
     # ---- drain: wait the oldest DMA, intersect its block -------------------
     def drain(qhead):
@@ -440,15 +446,19 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
                         axis=0, keepdims=True,
                     )
                     sel_i = pick(tri_f)
-                    sel_u = pick(jnp.where(is_best, u, 0.0))
-                    sel_v = pick(jnp.where(is_best, v, 0.0))
                     out_t[g:g + 1, :] = jnp.where(found, tmin, rbt_row)
                     out_i[g:g + 1, :] = jnp.where(
                         found, sel_i.astype(jnp.int32), out_i[g:g + 1, :])
-                    out_u[g:g + 1, :] = jnp.where(found, sel_u,
-                                                  out_u[g:g + 1, :])
-                    out_v[g:g + 1, :] = jnp.where(found, sel_v,
-                                                  out_v[g:g + 1, :])
+                    if not any_hit:
+                        # shadow casts never read u/v: skip their pick
+                        # chains and the two serialized [1, 128] VMEM
+                        # read-modify-writes per (group, subtile)
+                        sel_u = pick(jnp.where(is_best, u, 0.0))
+                        sel_v = pick(jnp.where(is_best, v, 0.0))
+                        out_u[g:g + 1, :] = jnp.where(found, sel_u,
+                                                      out_u[g:g + 1, :])
+                        out_v[g:g + 1, :] = jnp.where(found, sel_v,
+                                                      out_v[g:g + 1, :])
 
     # ---- node phase: pop SMEM nodes, DMA fat-leaf children -----------------
     def node_phase(carry):

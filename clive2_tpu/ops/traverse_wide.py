@@ -174,15 +174,18 @@ def _kernel(any_hit, group_gate, compact, wideboxes, childs, lblocks, leaff,
                     axis=0, keepdims=True
                 )
                 sel_i = pick(tri_f)
-                sel_u = pick(jnp.where(is_best, u, 0.0))
-                sel_v = pick(jnp.where(is_best, v, 0.0))
                 upd = (rowsel == g) & jnp.broadcast_to(
                     found, (SUBLANES, LANES))
                 bc = lambda r: jnp.broadcast_to(r, (SUBLANES, LANES))
                 bt = jnp.where(upd, bc(tmin), bt)
                 bi = jnp.where(upd, bc(sel_i.astype(jnp.int32)), bi)
-                bu = jnp.where(upd, bc(sel_u), bu)
-                bv = jnp.where(upd, bc(sel_v), bv)
+                if not any_hit:
+                    # shadow casts never read u/v: skip their pick
+                    # chains and register merges (u/v stay zero)
+                    sel_u = pick(jnp.where(is_best, u, 0.0))
+                    sel_v = pick(jnp.where(is_best, v, 0.0))
+                    bu = jnp.where(upd, bc(sel_u), bu)
+                    bv = jnp.where(upd, bc(sel_v), bv)
                 return bt, bi, bu, bv
 
             if group_gate:
