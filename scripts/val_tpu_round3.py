@@ -14,8 +14,14 @@ tune_from_session.py flips the ``stream_agg`` tuned default when the
 agg rows match 100% and beat the plain stream2 rows in both regimes.
 
 Usage: python scripts/val_tpu_round3.py [stream2|stream2agg|wide|all]
+
+CLIVE2_VAL_SMOKE=1 shrinks every scene/ray count ~50x and runs the
+Pallas kernels in interpret mode, so the WHOLE control flow of this
+script — the thing the unattended queue executes with no human
+watching — can be dry-run on CPU before the chip returns.
 """
 
+import os
 import sys
 import time
 
@@ -30,6 +36,11 @@ from clive2_tpu.geometry import TriangleSoup
 from clive2_tpu.ops.intersect import intersect_bvh_packed, pack_gather_walk
 
 WHICH = sys.argv[1] if len(sys.argv) > 1 else "all"
+SMOKE = os.environ.get("CLIVE2_VAL_SMOKE", "") == "1"
+
+
+def scaled(n):
+    return max(1024, n // 50) if SMOKE else n
 
 
 def cluster_scene(n_tris, seed=0):
@@ -61,6 +72,7 @@ def sync(x):
 
 
 def check(name, fn, packed, ga, nv=32768):
+    nv = 2048 if SMOKE else nv
     for cname, coh in (("coherent", True), ("incoherent", False)):
         o, d = rays(nv, coh)
         ov, dv = jnp.asarray(o), jnp.asarray(d)
@@ -78,6 +90,7 @@ def check(name, fn, packed, ga, nv=32768):
 
 
 def bench(name, fn, packed, n=1_000_000):
+    n = 8192 if SMOKE else n
     for cname, coh in (("coherent", True), ("incoherent", False)):
         o, d = rays(n, coh)
         ov, dv = jnp.asarray(o), jnp.asarray(d)
@@ -99,7 +112,7 @@ def main():
     if WHICH in ("stream2", "stream2agg", "all"):
         from clive2_tpu.ops import traverse_stream2 as ts2
 
-        soup = cluster_scene(200_000)
+        soup = cluster_scene(scaled(200_000))
         bvh = build_bvh(soup)
         packed = {k: jnp.asarray(v)
                   for k, v in ts2.pack_stream2(bvh, soup).items()}
@@ -109,12 +122,12 @@ def main():
               pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
         if WHICH == "stream2agg":
             fna = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
-                o, d, pk, sort=True, agg=True))
+                o, d, pk, sort=True, agg=True, interpret=SMOKE))
             check("stream2-agg", fna, packed, ga)
             bench("stream2-agg", fna, packed)
         else:
             fn = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
-                o, d, pk, sort=True, agg=False))
+                o, d, pk, sort=True, agg=False, interpret=SMOKE))
             check("stream2", fn, packed, ga)
             bench("stream2", fn, packed)
 
@@ -124,7 +137,7 @@ def main():
         # 47k = dragon scale; 90k = the new slot-packed window (scenes
         # that exceed the binary kernel's SMEM but now fit wide's VMEM)
         for n_tris, tag in ((47_000, "wide47k"), (90_000, "wide90k")):
-            soup = cluster_scene(n_tris, seed=3)
+            soup = cluster_scene(scaled(n_tris), seed=3)
             bvh = build_bvh(soup)
             packed_np = tw.pack_bvh8(bvh, soup)
             print(f"{tag}: vmem {tw.vmem_bytes(packed_np)/2**20:.2f} MB "
@@ -132,7 +145,8 @@ def main():
             packed = {k: jnp.asarray(v) for k, v in packed_np.items()}
             ga = {k: jnp.asarray(v) for k, v in
                   pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
-            fn = jax.jit(lambda o, d, pk: tw.intersect_wide(o, d, pk))
+            fn = jax.jit(lambda o, d, pk: tw.intersect_wide(
+                o, d, pk, interpret=SMOKE))
             check(tag, fn, packed, ga)
             bench(tag, fn, packed)
             if tag == "wide47k":
@@ -140,7 +154,7 @@ def main():
                 # pays its own Mosaic compile; coherent rays are the
                 # case the gate targets (1-3 of 8 groups per leaf child)
                 fng = jax.jit(lambda o, d, pk: tw.intersect_wide(
-                    o, d, pk, group_gate=True))
+                    o, d, pk, group_gate=True, interpret=SMOKE))
                 check(tag + "-gate", fng, packed, ga)
                 bench(tag + "-gate", fng, packed)
             # compact 12-slot leaf layout A/B (CLIVE2_WIDE_COMPACT):
@@ -154,7 +168,7 @@ def main():
 
         # the compact-only window: scenes past the padded layout's VMEM
         # budget that now stay resident instead of streaming
-        soup = cluster_scene(150_000, seed=3)
+        soup = cluster_scene(scaled(150_000), seed=3)
         bvh = build_bvh(soup)
         packed_np = tw.pack_bvh8(bvh, soup, compact=True)
         print(f"wide150k-compact: vmem {tw.vmem_bytes(packed_np)/2**20:.2f}"
@@ -162,7 +176,8 @@ def main():
         packed = {k: jnp.asarray(v) for k, v in packed_np.items()}
         ga = {k: jnp.asarray(v) for k, v in
               pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
-        fn = jax.jit(lambda o, d, pk: tw.intersect_wide(o, d, pk))
+        fn = jax.jit(lambda o, d, pk: tw.intersect_wide(
+            o, d, pk, interpret=SMOKE))
         check("wide150k-compact", fn, packed, ga)
         bench("wide150k-compact", fn, packed)
 
