@@ -37,7 +37,14 @@ BRUTE_FORCE_MAX_TRIS = int(os.environ.get("CLIVE2_BRUTE_MAX_TRIS", 256))
 # budgets for the Pallas packet-traversal kernel's scene tables (SMEM is
 # ~1 MB total on v5e and is the binding constraint: ~56 B per inner node
 # -> ceiling around 100k triangles; beyond that the gather walk runs)
-PALLAS_VMEM_BUDGET = int(os.environ.get("CLIVE2_PALLAS_VMEM", 9 * 2**20))
+# conservative default (VMEM is 16 MB physical and Mosaic needs headroom
+# for rays/outputs/double-buffering); the tuned key is flipped to 14 MB
+# when the hardware session proves the compact medium-dragon pack (13.2
+# MB) compiles and wins its bench A/B (CLIVE2_PALLAS_VMEM=14680064 rows)
+from .utils.tuned import tuned_default as _tuned_default
+
+PALLAS_VMEM_BUDGET = int(os.environ.get("CLIVE2_PALLAS_VMEM")
+                         or _tuned_default("pallas_vmem", str(9 * 2**20)))
 PALLAS_SMEM_BUDGET = int(os.environ.get("CLIVE2_PALLAS_SMEM", 800 * 1024))
 
 

@@ -15,6 +15,9 @@ Keys currently understood:
   wide_gate:   "0" | "1" (per-group leaf-MT gating in the BVH8 kernel)
   wide_compact: "0" | "1" (12-slot pad-free BVH8 leaf pages; always used
                as the VMEM-budget fallback regardless of this default)
+  pallas_vmem: VMEM budget in bytes for the resident packet kernels
+               (default 9 MB; 14 MB once hardware proves the compact
+               202k-tri pack compiles and wins its bench A/B)
   stream_agg:  "0" | "1" (stream2 dual-slot drain aggregation)
   wave_order:  "morton" | "raster" (static wavefront order on streaming
                scenes — integrator/render.py _wave_order)

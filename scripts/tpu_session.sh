@@ -66,6 +66,12 @@ CLIVE2_WAVE_ORDER=raster BENCH_CONFIGS=medium_dragon,big_dragon,sponza_1080p \
 CLIVE2_WAVE_ORDER=morton BENCH_CONFIGS=teapots_512,dragon_512 \
   step 1800 python bench.py
 
+# raised VMEM budget A/B: the compact 12-slot pack fits medium_dragon
+# (202k tris) in 13.2 MB — resident wide kernel instead of streaming if
+# Mosaic accepts the pack at a 14 MB budget (tuner flips pallas_vmem)
+CLIVE2_PALLAS_VMEM=14680064 BENCH_CONFIGS=medium_dragon \
+  step 1200 python bench.py
+
 step 900 python scripts/shade_ab.py
 
 step 2400 python bench.py

@@ -153,6 +153,18 @@ def decide(text):
         if wins and not losses:
             updates["wave_order_mid"] = "morton"
 
+    # --- raised VMEM budget (resident compact wide for ~200k scenes) --------
+    vmem_ab = next((rows for hdr, rows in sections
+                    if "CLIVE2_PALLAS_VMEM=14680064" in hdr
+                    and metric_value(rows, "202", "medium_dragon")
+                    is not None), None)
+    if vmem_ab and default:
+        a = metric_value(vmem_ab, "202", "medium_dragon")
+        b = metric_value(default, "202", "medium_dragon")
+        if (isinstance(a, (int, float)) and isinstance(b, (int, float))
+                and a > b):
+            updates["pallas_vmem"] = "14680064"
+
     # --- streaming impl ----------------------------------------------------
     if check_pass(text, "stream2"):
         ab = next((rows for hdr, rows in sections
