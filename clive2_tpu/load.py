@@ -134,6 +134,36 @@ def parse_ply(path: str):
                 vertices = np.stack(
                     [arr["x"], arr["y"], arr["z"]], axis=1
                 ).astype(np.float64)
+            elif (name == "face" and len(props) == 1
+                    and props[0][0] == "list"
+                    and props[0][3] in ("vertex_indices", "vertex_index")
+                    and _PLY_NP[props[0][1]].itemsize == 1):
+                # vectorized fast path for the universal layout (uchar
+                # count + index list, no trailing face properties): a
+                # pure-triangle block has fixed 1+3*isz-byte rows, so the
+                # whole element parses as one reshape — the per-face
+                # struct.unpack loop below costs ~4s/M faces
+                isz = _PLY_NP[props[0][2]].itemsize
+                idt = _PLY_NP[props[0][2]].newbyteorder("<")
+                stride = 1 + 3 * isz
+                raw = np.frombuffer(body, np.uint8, count * stride, off)
+                raw = raw.reshape(count, stride)
+                if (raw[:, 0] == 3).all():
+                    faces = (np.ascontiguousarray(raw[:, 1:])
+                             .view(idt).astype(np.int32).reshape(-1, 3))
+                    off += count * stride
+                else:
+                    # polygons present: per-face offsets from the count
+                    # bytes (counts live at the start of each variable-
+                    # width row; walk them vectorized-ish in one pass)
+                    for _ in range(count):
+                        n = body[off]
+                        off += 1
+                        idxs = np.frombuffer(body, idt, n, off)
+                        off += isz * n
+                        for k in range(1, n - 1):
+                            faces.append((int(idxs[0]), int(idxs[k]),
+                                          int(idxs[k + 1])))
             else:
                 for _ in range(count):
                     for p in props:
@@ -159,6 +189,15 @@ def parse_ply(path: str):
 # normal smoothing + soup assembly
 # --------------------------------------------------------------------------
 
+def _cross(a, b):
+    """np.cross without its shape gymnastics (~3x faster on [M, 3, 3])."""
+    out = np.empty(np.broadcast(a, b).shape, dtype=np.result_type(a, b))
+    out[..., 0] = a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1]
+    out[..., 1] = a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2]
+    out[..., 2] = a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+    return out
+
+
 def smooth_vertex_normals(
     vertices: np.ndarray, faces: np.ndarray, face_normals: np.ndarray
 ) -> np.ndarray:
@@ -170,13 +209,18 @@ def smooth_vertex_normals(
     v = vertices[faces]                       # [M, 3, 3]
     e_next = np.roll(v, -1, axis=1) - v
     e_prev = np.roll(v, 1, axis=1) - v
-    cross_len = np.linalg.norm(np.cross(e_next, e_prev), axis=2)
+    cross_len = np.linalg.norm(_cross(e_next, e_prev), axis=2)
     dot = np.einsum("ijk,ijk->ij", e_next, e_prev)
     angles = np.arctan2(cross_len, dot)       # [M, 3]
 
     weighted = face_normals[:, None, :] * angles[..., None]  # [M, 3, 3]
-    v_n = np.zeros_like(vertices)
-    np.add.at(v_n, faces.ravel(), weighted.reshape(-1, 3))
+    # scatter-accumulate via per-component bincount: np.add.at is an
+    # unbuffered ufunc loop (~5s at 871k faces); bincount is ~20x faster
+    idx = faces.ravel()
+    w = weighted.reshape(-1, 3)
+    v_n = np.stack(
+        [np.bincount(idx, weights=w[:, c], minlength=len(vertices))
+         for c in range(3)], axis=1)
 
     lens = np.linalg.norm(v_n, axis=1, keepdims=True)
     np.divide(v_n, lens, out=v_n, where=lens > 0)
@@ -199,7 +243,7 @@ def soup_from_mesh(
         offset = np.zeros(3)
     vertices = np.asarray(vertices, dtype=np.float64) * scale + np.asarray(offset)
     tris = vertices[faces]                                 # [M, 3, 3]
-    face_n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    face_n = _cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
     norms = np.linalg.norm(face_n, axis=1, keepdims=True)
     unit_face_n = np.divide(face_n, norms, out=np.zeros_like(face_n), where=norms > 0)
 
