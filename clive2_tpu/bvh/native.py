@@ -9,17 +9,67 @@ large meshes).  Falls back cleanly when the shared library is absent.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import subprocess
 
 import numpy as np
 
 _LIB = None
 _TRIED = False
 
+_CSRC = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "csrc"))
 _LIB_CANDIDATES = (
-    os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "libclive2.so"),
+    os.path.join(_CSRC, "libclive2.so"),
     os.path.join(os.path.dirname(__file__), "libclive2.so"),
 )
+
+
+def _host_fingerprint() -> str:
+    """CPU feature hash: the .so is built -march=native, and this
+    deployment migrates between machine types mid-round (stale
+    AVX512-tuned XLA caches already SIGILLed once — see ROADMAP round-3
+    environment note), so a library built on the previous host is a
+    latent SIGILL, not a cache hit."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha256(line.encode()).hexdigest()[:16]
+    except OSError:
+        pass
+    return "unknown"
+
+
+def _maybe_rebuild():
+    """Rebuild csrc/libclive2.so when it was built on a different CPU
+    (or the source is newer), recording the build host in a stamp file.
+    Failures are silent — callers fall back to the numpy builder."""
+    if os.environ.get("CLIVE2_NATIVE_REBUILD", "1") == "0":
+        return
+    so = os.path.join(_CSRC, "libclive2.so")
+    src = os.path.join(_CSRC, "bvh_builder.cpp")
+    stamp = os.path.join(_CSRC, ".build_host")
+    if not os.path.exists(src):
+        return
+    want = _host_fingerprint()
+    try:
+        with open(stamp) as f:
+            have = f.read().strip()
+    except OSError:
+        have = ""
+    fresh = (os.path.exists(so)
+             and os.path.getmtime(so) >= os.path.getmtime(src))
+    if fresh and have == want:
+        return
+    try:
+        subprocess.run(["make", "-C", _CSRC, "-B"], timeout=120,
+                       capture_output=True, check=True)
+        with open(stamp, "w") as f:
+            f.write(want)
+    except (OSError, subprocess.SubprocessError):
+        pass
 
 
 def _load():
@@ -27,6 +77,7 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
+    _maybe_rebuild()
     for path in _LIB_CANDIDATES:
         path = os.path.abspath(path)
         if os.path.exists(path):
