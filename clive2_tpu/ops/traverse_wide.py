@@ -83,7 +83,8 @@ import os
 MAX_BLOCKS_PER_CALL = int(os.environ.get("CLIVE2_PALLAS_MAX_BLOCKS", 2048))
 
 
-def _make_kernel(any_hit: bool, group_gate: bool, compact: bool = False):
+def _make_kernel(any_hit: bool, group_gate: bool, compact: bool = False,
+                 pop2: bool = False):
     """``any_hit`` compiles the shadow-ray variant (first-hit termination;
     see traverse_pallas2._make_kernel for the contract).  ``group_gate``
     wraps each ray-group's leaf MT in a lax.cond on a scalar any-reduce of
@@ -94,11 +95,21 @@ def _make_kernel(any_hit: bool, group_gate: bool, compact: bool = False):
     reduce->branch to the critical path (the binary kernel measured ~550
     cycles per serialized scalar window), so the sign of the win is
     scene-dependent.  ``compact`` selects the 12-slot pad-free leaf page
-    layout (one extra dynamic lane roll per leaf-phase node)."""
-    return functools.partial(_kernel, any_hit, group_gate, compact)
+    layout (one extra dynamic lane roll per leaf-phase node).  ``pop2``
+    retires TWO stack nodes per while iteration — both SMEM reads issue
+    before either node's pushes, so the two box-phase scalar-window
+    chains (8 nears + the best-ref sweep each, the bulk of the pop's
+    serial cost — the binary kernel's QUAD-pop won 3x on the same
+    structure) can overlap; the second visit is neutralized via its
+    ``en`` gate when the stack holds one entry.  Opt-in
+    (CLIVE2_WIDE_POP2) pending the hardware A/B: two in-flight visits
+    double the live mask registers, so the sign depends on spill
+    behavior."""
+    return functools.partial(_kernel, any_hit, group_gate, compact, pop2)
 
 
-def _kernel(any_hit, group_gate, compact, wideboxes, childs, lblocks, leaff,
+def _kernel(any_hit, group_gate, compact, pop2,
+            wideboxes, childs, lblocks, leaff,
             ox, oy, oz, dx, dy, dz, act, tm,
             out_t, out_i, out_u, out_v, stack):
     tiny = jnp.float32(1e-30)
@@ -206,12 +217,14 @@ def _kernel(any_hit, group_gate, compact, wideboxes, childs, lblocks, leaff,
     def cond(sp):
         return sp > 0
 
-    def body(sp):
-        node = stack[sp - 1]
-        sp = sp - 1
+    def visit(node, sp, en):
         bt = out_t[:]
         # any-hit: rays that already recorded an occluder leave the union
         alive = (active & (out_i[:] < 0)) if any_hit else active
+        # en gates the whole visit (pop2's second slot when the stack had
+        # a single entry): no ray alive -> no box hits -> no pushes, no
+        # leaf work, sp unchanged
+        alive = jnp.logical_and(alive, en)
         alive_f = alive.astype(jnp.float32)
 
         # ---- fetch all 8 children's boxes: one [48, 128] roll ------------
@@ -309,16 +322,29 @@ def _kernel(any_hit, group_gate, compact, wideboxes, childs, lblocks, leaff,
 
         return sp
 
+    def body(sp):
+        node_a = stack[sp - 1]
+        if not pop2:
+            return visit(node_a, sp - 1, jnp.bool_(True))
+        # read BOTH nodes before either visit pushes over stack[sp-2];
+        # the clamped read when sp == 1 lands on a stale-but-valid node
+        # id and is neutralized by the en gate
+        two = sp > 1
+        node_b = stack[jnp.maximum(sp - 2, 0)]
+        sp = sp - 1 - two.astype(jnp.int32)
+        sp = visit(node_a, sp, jnp.bool_(True))
+        return visit(node_b, sp, two)
+
     jax.lax.while_loop(cond, body, jnp.int32(1))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "interpret", "any_hit",
-                                    "group_gate", "compact"))
+                                    "group_gate", "compact", "pop2"))
 def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
                      n_blocks: int, interpret: bool = False,
                      any_hit: bool = False, group_gate: bool = False,
-                     compact: bool = False):
+                     compact: bool = False, pop2: bool = False):
     plane = lambda: pl.BlockSpec(
         (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -330,7 +356,7 @@ def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
         jax.ShapeDtypeStruct(shape, jnp.float32),
     ]
     return pl.pallas_call(
-        _make_kernel(any_hit, group_gate, compact),
+        _make_kernel(any_hit, group_gate, compact, pop2),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wideboxes
@@ -349,7 +375,7 @@ def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
 
 def intersect_wide(origin, direction, packed, active=None, sort=False,
                    t_max=None, interpret=False, any_hit=False,
-                   group_gate=None):
+                   group_gate=None, pop2=None):
     """Closest hit via the BVH8 kernel; same contract as intersect_bvh.
     ``any_hit`` licenses first-hit termination (see intersect_pallas2).
     ``group_gate`` (None -> CLIVE2_WIDE_GATE env, default off) skips the
@@ -357,11 +383,16 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
     The compact 12-slot leaf layout is selected by the ``packed`` dict
     itself (a ``compact`` marker entry written by pack_bvh8) — pytree
     structure, so the choice stays static under jit."""
-    if group_gate is None:
+    if group_gate is None or pop2 is None:
         from ..utils.tuned import tuned_default
 
-        group_gate = (os.environ.get("CLIVE2_WIDE_GATE")
-                      or tuned_default("wide_gate", "0")) == "1"
+        if group_gate is None:
+            group_gate = (os.environ.get("CLIVE2_WIDE_GATE")
+                          or tuned_default("wide_gate", "0")) == "1"
+        if pop2 is None:
+            pop2 = (os.environ.get("CLIVE2_WIDE_POP2")
+                    or tuned_default("wide_pop2", "0")) == "1"
+    pop2 = bool(pop2)
     compact = "compact" in packed
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
@@ -375,6 +406,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
             active=None if active is None else active[order], sort=False,
             t_max=None if t_max is None else t_max[order],
             interpret=interpret, any_hit=any_hit, group_gate=group_gate,
+            pop2=pop2,
         )
         return i[inv], t[inv], u[inv], v[inv]
 
@@ -411,6 +443,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
                 packed["wideboxes"], packed["childs"], packed["lblocks"],
                 packed["leaff"], r, cap, interpret=interpret,
                 any_hit=any_hit, group_gate=group_gate, compact=compact,
+                pop2=pop2,
             ),
             stacked,
         )
@@ -420,6 +453,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
             packed["wideboxes"], packed["childs"], packed["lblocks"],
             packed["leaff"], rays, n_blocks, interpret=interpret,
             any_hit=any_hit, group_gate=group_gate, compact=compact,
+            pop2=pop2,
         )
     reshape = lambda a: a.reshape(n_pad)[:n]
     i = reshape(i)

@@ -15,6 +15,8 @@ Keys currently understood:
   wide_gate:   "0" | "1" (per-group leaf-MT gating in the BVH8 kernel)
   wide_compact: "0" | "1" (12-slot pad-free BVH8 leaf pages; always used
                as the VMEM-budget fallback regardless of this default)
+  wide_pop2:   "0" | "1" (retire two stack nodes per BVH8 while
+               iteration, overlapping the box-phase scalar windows)
   pallas_vmem: VMEM budget in bytes for the resident packet kernels
                (default 9 MB; 14 MB once hardware proves the compact
                202k-tri pack compiles and wins its bench A/B)

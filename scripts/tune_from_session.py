@@ -89,6 +89,16 @@ def decide(text):
         if all(wins):
             updates["wide_gate"] = "1"
 
+    # --- wide-kernel dual pop ------------------------------------------------
+    if check_pass(text, "wide47k-pop2"):
+        wins = []
+        for regime in ("coherent", "incoherent"):
+            base = bench_mrays(text, "wide47k", regime)
+            p2 = bench_mrays(text, "wide47k-pop2", regime)
+            wins.append(base is not None and p2 is not None and p2 > base)
+        if all(wins):
+            updates["wide_pop2"] = "1"
+
     # --- wide-kernel compact 12-slot leaf layout -----------------------------
     wins = []
     for tag in ("wide47k", "wide90k"):

@@ -157,6 +157,14 @@ def main():
                     o, d, pk, group_gate=True, interpret=SMOKE))
                 check(tag + "-gate", fng, packed, ga)
                 bench(tag + "-gate", fng, packed)
+                # dual-pop A/B (CLIVE2_WIDE_POP2): overlaps two box-phase
+                # scalar-window chains per while iteration (the binary
+                # kernel's QUAD-pop precedent); register pressure may
+                # flip the sign, hence the A/B
+                fnp = jax.jit(lambda o, d, pk: tw.intersect_wide(
+                    o, d, pk, pop2=True, interpret=SMOKE))
+                check(tag + "-pop2", fnp, packed, ga)
+                bench(tag + "-pop2", fnp, packed)
             # compact 12-slot leaf layout A/B (CLIVE2_WIDE_COMPACT):
             # ~1.5x smaller VMEM leaf table for one extra dynamic lane
             # roll per leaf-phase node; also decides the big-scene

@@ -244,6 +244,26 @@ class TestTraverseWide:
         want = intersect_bvh_packed(o, d, ga)
         _assert_hits_equal(got, want, "wide shared pages")
 
+    def test_pop2_equivalence(self, rng):
+        """CLIVE2_WIDE_POP2 (two stack nodes per while iteration) is a
+        pure scheduling knob: identical hits, including with the compact
+        layout, an active mask, and an odd stack parity (the en-gated
+        second slot)."""
+        from clive2_tpu.ops import traverse_wide as tw
+
+        soup = _random_soup(rng, 600)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tw.pack_bvh8(bvh, soup, compact=True).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 1100)
+        active = jnp.asarray(rng.uniform(size=1100) < 0.6)
+        got = tw.intersect_wide(o, d, packed, active=active, sort=True,
+                                interpret=True, pop2=True)
+        want = intersect_bvh_packed(o, d, ga, active=active)
+        _assert_hits_equal(got, want, "wide pop2")
+
     @pytest.mark.parametrize("t", [41, 700])
     def test_compact_layout_matches(self, rng, t):
         """The 12-slot pad-free leaf layout (compact=True) is a pure
