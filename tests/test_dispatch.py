@@ -65,6 +65,32 @@ def test_past_wide_vmem_falls_to_stream(monkeypatch):
     assert _selected(s) == ["stream"]
 
 
+def test_padded_over_budget_repacks_compact(monkeypatch):
+    """A budget between the compact and padded leaf-table sizes must
+    select the wide kernel with the compact 12-slot layout (the marker
+    entry pack_bvh8 writes), not fall through to streaming."""
+    from clive2_tpu.bvh.build import build_bvh
+    from clive2_tpu.ops import traverse_wide as tw
+
+    blob = _blob(3000)
+    # budget between the two layouts' footprints for THIS scene (world =
+    # blob + cornell box; approximate with the blob alone plus slack)
+    bvh = build_bvh(blob)
+    hi = tw.vmem_bytes(tw.pack_bvh8(bvh, blob))
+    lo = tw.vmem_bytes(tw.pack_bvh8(bvh, blob, compact=True))
+    assert lo < hi
+    s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=(lo + hi) // 2)
+    assert _selected(s) == ["wide"]
+    assert "compact" in s.data["wide"]
+
+
+def test_wide_compact_env_forces_layout(monkeypatch):
+    s = _make(monkeypatch, 3000, smem=24 * 1024,
+              env={"CLIVE2_WIDE_COMPACT": "1"})
+    assert _selected(s) == ["wide"]
+    assert "compact" in s.data["wide"]
+
+
 def test_stream_impl2_env_selects_mxu_kernel(monkeypatch):
     s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=64 * 1024,
               env={"CLIVE2_STREAM_IMPL": "2"})
