@@ -543,6 +543,21 @@ def pack_bvh8(bvh, soup, leaf=None, compact=False):
     n_wide = len(wide_children)
     is_leaf = bvh.leaf_id >= 0
 
+    # pack-time stack bound (mirrors traverse_pallas2's check): a visit
+    # pushes at most WIDE children and pop2 interleaves two frontiers
+    maxd, dstack = 1, [(0, 1)]
+    while dstack:
+        w, dep = dstack.pop()
+        maxd = max(maxd, dep)
+        for b in wide_children[w]:
+            if not is_leaf[b]:
+                dstack.append((wide_of[b], dep + 1))
+    if maxd * WIDE + 2 * WIDE > STACK_DEPTH:
+        raise ValueError(
+            f"BVH8 depth {maxd} may overflow the traversal stack "
+            f"({STACK_DEPTH}); rebuild with a shallower tree or raise "
+            f"STACK_DEPTH")
+
     n_pad = ((n_wide + LANES - 1) // LANES) * LANES
     wideboxes = np.zeros((BOX_FIELDS * WIDE, n_pad), dtype=np.float32)
     wideboxes[:] = BIG                       # empty slots: min=max=+BIG
