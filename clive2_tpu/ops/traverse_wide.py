@@ -68,10 +68,12 @@ INF = float("inf")
 # (lanes 120-127 unused) instead of 8 slots of 16 — 1.5x more leaves per
 # VMEM byte before bin-packing gains.  The kernel still requires the
 # node's leaf children at tile columns c*cols, so each node's page view
-# is ROLLED left by its slot shift (lblocks encodes page*32 + shift);
-# the shift is bounded by C_SLOTS - WIDE = 4 slots, which keeps every
-# live lane (<= 119 pre-roll) and the 8 pad lanes (>= 120 - 40 = 80
-# post-roll, just past the last touched tile lane 79) wrap-free.
+# is ROLLED left by its slot shift (lblocks encodes page*32 + shift).
+# Safety invariant: a node's k leaf children occupy the contiguous slot
+# run [shift, shift+k) with shift + k <= C_SLOTS, so post-roll the
+# touched lanes are [0, k*10) while the 8 pad lanes land at
+# 120 - shift*10 >= k*10 and the wrapped lanes at 128 - shift*10 — both
+# strictly past the last touched lane for every legal (shift, k).
 C_SLOTS = 12
 C_LEAF_COLS = 10
 C_SHIFT_MOD = 32               # lblocks = page * 32 + slot shift
