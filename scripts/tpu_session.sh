@@ -68,8 +68,11 @@ CLIVE2_WAVE_ORDER=morton BENCH_CONFIGS=teapots_512,dragon_512 \
 
 # raised VMEM budget A/B: the compact 12-slot pack fits medium_dragon
 # (202k tris) in 13.2 MB — resident wide kernel instead of streaming if
-# Mosaic accepts the pack at a 14 MB budget (tuner flips pallas_vmem)
-CLIVE2_PALLAS_VMEM=14680064 BENCH_CONFIGS=medium_dragon \
+# Mosaic accepts the pack at a 14 MB budget (tuner flips pallas_vmem).
+# BENCH_TIME_BUDGET=3 gives the config 600 s: the row must absorb a
+# cold Mosaic compile of the 202k wide kernel, and a timeout row would
+# silently veto the flip
+CLIVE2_PALLAS_VMEM=14680064 BENCH_TIME_BUDGET=3 BENCH_CONFIGS=medium_dragon \
   step 1200 python bench.py
 
 step 900 python scripts/shade_ab.py
