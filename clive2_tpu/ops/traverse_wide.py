@@ -86,7 +86,7 @@ MAX_BLOCKS_PER_CALL = int(os.environ.get("CLIVE2_PALLAS_MAX_BLOCKS", 2048))
 
 
 def _make_kernel(any_hit: bool, group_gate: bool, compact: bool = False,
-                 pop2: bool = False):
+                 pop2: bool = False, bits: bool = False):
     """``any_hit`` compiles the shadow-ray variant (first-hit termination;
     see traverse_pallas2._make_kernel for the contract).  ``group_gate``
     wraps each ray-group's leaf MT in a lax.cond on a scalar any-reduce of
@@ -106,11 +106,26 @@ def _make_kernel(any_hit: bool, group_gate: bool, compact: bool = False,
     ``en`` gate when the stack holds one entry.  Opt-in
     (CLIVE2_WIDE_POP2) pending the hardware A/B: two in-flight visits
     double the live mask registers, so the sign depends on spill
-    behavior."""
-    return functools.partial(_kernel, any_hit, group_gate, compact, pop2)
+    behavior.  ``bits`` replaces the box phase's per-child scalar
+    readouts (8 ``jnp.min`` nears + the chained best-ref sweep — the
+    measured bulk of the pop's serial cost; Mosaic does not overlap
+    independent scalar/reduce chains) with ONE f32 readout that
+    bit-packs the per-child hit mask and the nearest-inner-child tie
+    mask, decoded with scalar integer ALU; stack pushes become
+    branch-free (unconditional write + predicated pointer advance, the
+    binary kernel's phase-3 trick).  With ``group_gate`` it also packs
+    the 64 per-(child, group) leaf-gate predicates into three f32
+    readouts computed once per leaf-phase node instead of a
+    reduce->cond window per gated MT.  Opt-in (CLIVE2_WIDE_BITS)
+    pending the hardware A/B."""
+    return functools.partial(_kernel, any_hit, group_gate, compact, pop2,
+                             bits)
 
 
-def _kernel(any_hit, group_gate, compact, pop2,
+FLAG_BASE = BOX_FIELDS * WIDE          # wideboxes rows 48-55: inner flags
+
+
+def _kernel(any_hit, group_gate, compact, pop2, bits,
             wideboxes, childs, lblocks, leaff,
             ox, oy, oz, dx, dy, dz, act, tm,
             out_t, out_i, out_u, out_v, stack):
@@ -134,7 +149,7 @@ def _kernel(any_hit, group_gate, compact, pop2,
     def row(a, g):
         return jnp.broadcast_to(a[g:g + 1, :], (SUBLANES, LANES))
 
-    def leaf_slot_mt(tile, masks_c):
+    def leaf_slot_mt(tile, masks_c, gbits=None):
         """MT of one 8-tri leaf tile against the whole packet.  The
         best-hit state reads the output refs ONCE ([8, 128] tiles), folds
         all 8 ray-groups in registers, and writes back ONCE — the
@@ -202,8 +217,12 @@ def _kernel(any_hit, group_gate, compact, pop2,
                 return bt, bi, bu, bv
 
             if group_gate:
+                # bits mode: the predicate is a pre-decoded scalar (three
+                # packed readouts per leaf-phase node) instead of a
+                # vector reduce->scalar window per (child, group)
+                pred = gbits[g] if gbits is not None else jnp.any(masks_c[g])
                 bt, bi, bu, bv = jax.lax.cond(
-                    jnp.any(masks_c[g]), mt_group,
+                    pred, mt_group,
                     lambda bt, bi, bu, bv: (bt, bi, bu, bv),
                     bt, bi, bu, bv,
                 )
@@ -231,7 +250,7 @@ def _kernel(any_hit, group_gate, compact, pop2,
 
         # ---- fetch all 8 children's boxes: one [48, 128] roll ------------
         grp = pl.multiple_of((node // LANES) * LANES, LANES)
-        wide = wideboxes[:, pl.ds(grp, LANES)]             # [48, 128]
+        wide = wideboxes[:, pl.ds(grp, LANES)]             # [56, 128]
         colv = pltpu.roll(wide, shift=-(node % LANES), axis=1)[:, 0:1]
 
         def field(k):                                      # [8, 1] -> bcast
@@ -267,33 +286,77 @@ def _kernel(any_hit, group_gate, compact, pop2,
             red = jnp.min(tg, axis=1, keepdims=True)       # [8, 1]
             tmin_red = red if tmin_red is None else jnp.minimum(tmin_red, red)
 
-        # per-child nearest entry distance -> 8 scalars (one sync window)
-        nears = [jnp.min(tmin_red[c:c + 1, :]) for c in range(WIDE)]
-
-        # ---- push hit inner children, nearest popped first ---------------
         refs = [childs[node * WIDE + c] for c in range(WIDE)]
-        hit_c = [nears[c] < INF for c in range(WIDE)]
-        best_near = INF
-        best_ref = jnp.int32(-1)
-        for c in range(WIDE):
-            cand = hit_c[c] & (refs[c] >= 0)
-            better = cand & (nears[c] < best_near)
-            best_near = jnp.where(better, nears[c], best_near)
-            best_ref = jnp.where(better, refs[c], best_ref)
-        for c in range(WIDE):
-            push = hit_c[c] & (refs[c] >= 0) & (refs[c] != best_ref)
+        if bits:
+            # ---- ONE scalar window for the whole pop decision ------------
+            # Pack per-child hit (bits 0-7) and the nearest-INNER-child
+            # tie mask (bits 8-15) into one f32 (exact: value < 2^16) and
+            # read it out once; everything downstream is scalar ALU.
+            # Inner-ness must be available in VECTOR registers for the
+            # tie mask, hence the pack-time flag rows.
+            inner_v = colv[FLAG_BASE:FLAG_BASE + WIDE] > 0.5   # [8, 1]
+            hit_v = tmin_red < INF                             # [8, 1]
+            inner_hit = hit_v & inner_v
+            near_i = jnp.where(inner_hit, tmin_red, INF)
+            bestnear = jnp.min(near_i, axis=0, keepdims=True)  # [1, 1]
+            is_best = inner_hit & (near_i <= jnp.broadcast_to(
+                bestnear, near_i.shape))
+            pw = jnp.exp2(jax.lax.broadcasted_iota(
+                jnp.float32, (WIDE, 1), 0))                    # 2^c exact
+            cmb = jnp.sum(jnp.where(hit_v, pw, 0.0)
+                          + jnp.where(is_best, pw * 256.0, 0.0))
+            ci = cmb.astype(jnp.int32)                         # < 2^16
+            hit_c = [((ci // (1 << c)) % 2) == 1 for c in range(WIDE)]
+            # first set tie bit = first child achieving the min (matches
+            # the sweep's first-strictly-better semantics; ties are
+            # common — two boxes containing the origin both clamp to 0)
+            seen = jnp.int32(0)
+            best_ref = jnp.int32(-1)
+            isf = []
+            for c in range(WIDE):
+                bb = (ci // (1 << (8 + c))) % 2
+                f_c = (bb == 1) & (seen == 0)
+                seen = seen + bb
+                isf.append(f_c)
+                best_ref = jnp.where(f_c, refs[c], best_ref)
+            # branch-free pushes (pallas2 phase-3): dead slots get a
+            # stale-but-valid id (0 = root) so pop2's clamped read and
+            # the stale-slot invariant stay safe; nearest inner last
+            # (top of stack)
+            for c in range(WIDE):
+                push = hit_c[c] & (refs[c] >= 0) & jnp.logical_not(isf[c])
+                stack[sp] = jnp.where(push, refs[c], 0)
+                sp = sp + push.astype(jnp.int32)
+            stack[sp] = jnp.where(best_ref >= 0, best_ref, 0)
+            sp = sp + (best_ref >= 0).astype(jnp.int32)
+        else:
+            # per-child nearest entry distance -> 8 scalars (one sync
+            # window each; Mosaic serializes them)
+            nears = [jnp.min(tmin_red[c:c + 1, :]) for c in range(WIDE)]
 
-            @pl.when(push)
-            def _(ref=refs[c], sp=sp):
-                stack[sp] = ref
+            # ---- push hit inner children, nearest popped first -----------
+            hit_c = [nears[c] < INF for c in range(WIDE)]
+            best_near = INF
+            best_ref = jnp.int32(-1)
+            for c in range(WIDE):
+                cand = hit_c[c] & (refs[c] >= 0)
+                better = cand & (nears[c] < best_near)
+                best_near = jnp.where(better, nears[c], best_near)
+                best_ref = jnp.where(better, refs[c], best_ref)
+            for c in range(WIDE):
+                push = hit_c[c] & (refs[c] >= 0) & (refs[c] != best_ref)
 
-            sp = sp + push.astype(jnp.int32)
+                @pl.when(push)
+                def _(ref=refs[c], sp=sp):
+                    stack[sp] = ref
 
-        @pl.when(best_ref >= 0)
-        def _(sp=sp):
-            stack[sp] = best_ref
+                sp = sp + push.astype(jnp.int32)
 
-        sp = sp + (best_ref >= 0).astype(jnp.int32)
+            @pl.when(best_ref >= 0)
+            def _(sp=sp):
+                stack[sp] = best_ref
+
+            sp = sp + (best_ref >= 0).astype(jnp.int32)
 
         # ---- leaf phase: one aligned block, per-slot MT under pl.when ----
         lb = lblocks[node]
@@ -316,11 +379,35 @@ def _kernel(any_hit, group_gate, compact, pop2,
                 base = pl.multiple_of(lb * LANES, LANES)
                 grpleaf = leaff[:, pl.ds(base, LANES)]     # [8, 128]
                 cols = LEAF_COLS
+            if bits and group_gate:
+                # pack all 64 per-(child, group) gate predicates into
+                # THREE f32 readouts (24/24/16 bits, each exact in f32
+                # and < 2^24 so the int32 cast is safe) computed once
+                # per leaf-phase node, replacing a vector-reduce window
+                # per gated MT call
+                pw2 = jnp.exp2(jax.lax.broadcasted_iota(
+                    jnp.float32, (WIDE, 1), 0))
+                gm = [jnp.any(masks[g], axis=1, keepdims=True)
+                      for g in range(SUBLANES)]            # [8, 1] each
+                words = []
+                for w0 in range(0, SUBLANES, 3):
+                    acc = jnp.zeros((WIDE, 1), jnp.float32)
+                    for idx, g in enumerate(
+                            range(w0, min(w0 + 3, SUBLANES))):
+                        acc = acc + jnp.where(
+                            gm[g], pw2 * float(256.0 ** idx), 0.0)
+                    words.append(jnp.sum(acc).astype(jnp.int32))
+
+                def gbit(g, c):
+                    wi, idx = divmod(g, 3)
+                    return ((words[wi] // (1 << (idx * 8 + c))) % 2) == 1
             for c in range(WIDE):
                 @pl.when(hit_c[c] & (refs[c] < 0))
                 def _(c=c):
                     tile = grpleaf[:, c * cols:(c + 1) * cols]
-                    leaf_slot_mt(tile, [m[c:c + 1, :] for m in masks])
+                    gb = ([gbit(g, c) for g in range(SUBLANES)]
+                          if (bits and group_gate) else None)
+                    leaf_slot_mt(tile, [m[c:c + 1, :] for m in masks], gb)
 
         return sp
 
@@ -342,11 +429,13 @@ def _kernel(any_hit, group_gate, compact, pop2,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_blocks", "interpret", "any_hit",
-                                    "group_gate", "compact", "pop2"))
+                                    "group_gate", "compact", "pop2",
+                                    "bits"))
 def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
                      n_blocks: int, interpret: bool = False,
                      any_hit: bool = False, group_gate: bool = False,
-                     compact: bool = False, pop2: bool = False):
+                     compact: bool = False, pop2: bool = False,
+                     bits: bool = False):
     plane = lambda: pl.BlockSpec(
         (SUBLANES, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -358,7 +447,7 @@ def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
         jax.ShapeDtypeStruct(shape, jnp.float32),
     ]
     return pl.pallas_call(
-        _make_kernel(any_hit, group_gate, compact, pop2),
+        _make_kernel(any_hit, group_gate, compact, pop2, bits),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # wideboxes
@@ -377,15 +466,17 @@ def _traverse_blocks(wideboxes, childs, lblocks, leaff, rays,
 
 def intersect_wide(origin, direction, packed, active=None, sort=False,
                    t_max=None, interpret=False, any_hit=False,
-                   group_gate=None, pop2=None):
+                   group_gate=None, pop2=None, bits=None):
     """Closest hit via the BVH8 kernel; same contract as intersect_bvh.
     ``any_hit`` licenses first-hit termination (see intersect_pallas2).
     ``group_gate`` (None -> CLIVE2_WIDE_GATE env, default off) skips the
     leaf MT for ray-groups whose box-hit mask is empty — see _make_kernel.
+    ``bits`` (None -> CLIVE2_WIDE_BITS env / tuned wide_bits) selects the
+    single-readout bit-packed box phase — see _make_kernel.
     The compact 12-slot leaf layout is selected by the ``packed`` dict
     itself (a ``compact`` marker entry written by pack_bvh8) — pytree
     structure, so the choice stays static under jit."""
-    if group_gate is None or pop2 is None:
+    if group_gate is None or pop2 is None or bits is None:
         from ..utils.tuned import tuned_default
 
         if group_gate is None:
@@ -394,7 +485,11 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
         if pop2 is None:
             pop2 = (os.environ.get("CLIVE2_WIDE_POP2")
                     or tuned_default("wide_pop2", "0")) == "1"
+        if bits is None:
+            bits = (os.environ.get("CLIVE2_WIDE_BITS")
+                    or tuned_default("wide_bits", "0")) == "1"
     pop2 = bool(pop2)
+    bits = bool(bits)
     compact = "compact" in packed
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
@@ -408,7 +503,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
             active=None if active is None else active[order], sort=False,
             t_max=None if t_max is None else t_max[order],
             interpret=interpret, any_hit=any_hit, group_gate=group_gate,
-            pop2=pop2,
+            pop2=pop2, bits=bits,
         )
         return i[inv], t[inv], u[inv], v[inv]
 
@@ -445,7 +540,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
                 packed["wideboxes"], packed["childs"], packed["lblocks"],
                 packed["leaff"], r, cap, interpret=interpret,
                 any_hit=any_hit, group_gate=group_gate, compact=compact,
-                pop2=pop2,
+                pop2=pop2, bits=bits,
             ),
             stacked,
         )
@@ -455,7 +550,7 @@ def intersect_wide(origin, direction, packed, active=None, sort=False,
             packed["wideboxes"], packed["childs"], packed["lblocks"],
             packed["leaff"], rays, n_blocks, interpret=interpret,
             any_hit=any_hit, group_gate=group_gate, compact=compact,
-            pop2=pop2,
+            pop2=pop2, bits=bits,
         )
     reshape = lambda a: a.reshape(n_pad)[:n]
     i = reshape(i)
@@ -561,8 +656,14 @@ def pack_bvh8(bvh, soup, leaf=None, compact=False):
             f"STACK_DEPTH")
 
     n_pad = ((n_wide + LANES - 1) // LANES) * LANES
-    wideboxes = np.zeros((BOX_FIELDS * WIDE, n_pad), dtype=np.float32)
-    wideboxes[:] = BIG                       # empty slots: min=max=+BIG
+    # rows 0-47: 6 box fields x 8 children.  Rows 48-55: per-child INNER
+    # flag (1.0 = child is an inner wide node) — the bits box phase needs
+    # inner-ness in VECTOR registers to build the best-inner-child tie
+    # mask without per-child scalar readouts (the scalar side gets it for
+    # free from `childs`, but by then the sync window is already paid).
+    # +32 B/node (~17% of the box table, ~1-2% of a packed scene's VMEM).
+    wideboxes = np.zeros((BOX_FIELDS * WIDE + WIDE, n_pad), dtype=np.float32)
+    wideboxes[:BOX_FIELDS * WIDE] = BIG      # empty slots: min=max=+BIG
     childs = np.full((n_wide * WIDE,), -1, dtype=np.int32)
     lblocks = np.full((n_wide,), -1, dtype=np.int32)
 
@@ -626,6 +727,7 @@ def pack_bvh8(bvh, soup, leaf=None, compact=False):
                 blocks[pg][slot_of[c]] = lid
             else:
                 childs[w * WIDE + c] = wide_of[b]
+                wideboxes[BOX_FIELDS * WIDE + c, w] = 1.0
 
     n_blocks_leaf = max(len(blocks), 1)
     leaff = np.zeros((SUBLANES, n_blocks_leaf * LANES), dtype=np.float32)

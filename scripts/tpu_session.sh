@@ -28,6 +28,9 @@ step() {
 # (the wide section now carries 3 extra Mosaic compiles: the compact rows)
 step 2400 python scripts/val_tpu_round3.py stream2
 step 3600 python scripts/val_tpu_round3.py wide
+# bit-packed box phase A/B (3 Mosaic compiles) in its own step so a
+# compile failure there cannot starve the gates above
+step 2400 python scripts/val_tpu_round3.py widebits
 
 if grep -q "stream2 coherent: id match 100" "$LOG"; then
   for rows in 32 48; do

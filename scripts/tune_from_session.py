@@ -113,6 +113,33 @@ def decide(text):
     if wins and all(wins):
         updates["wide_compact"] = "1"
 
+    # --- wide-kernel bit-packed box phase -----------------------------------
+    # wide_bits flips when the bits row beats the base wide47k row in
+    # both regimes.  When it flips, pop2/gate are RE-decided from the
+    # rows measured WITH bits (wide47k-bits-pop2 / -gate vs wide47k-bits)
+    # — the base-rule decisions above were measured without bits, and
+    # e.g. the gate's cost model changes completely under bits (64
+    # reduce->cond windows become 3 packed readouts).
+    if check_pass(text, "wide47k-bits"):
+        wins = []
+        for regime in ("coherent", "incoherent"):
+            base = bench_mrays(text, "wide47k", regime)
+            bt = bench_mrays(text, "wide47k-bits", regime)
+            wins.append(base is not None and bt is not None and bt > base)
+        if all(wins):
+            updates["wide_bits"] = "1"
+            for knob, tag in (("wide_pop2", "wide47k-bits-pop2"),
+                              ("wide_gate", "wide47k-bits-gate")):
+                sub = []
+                for regime in ("coherent", "incoherent"):
+                    bt = bench_mrays(text, "wide47k-bits", regime)
+                    v = bench_mrays(text, tag, regime)
+                    sub.append(bt is not None and v is not None and v > bt)
+                if check_pass(text, tag) and all(sub):
+                    updates[knob] = "1"
+                else:
+                    updates.pop(knob, None)
+
     # --- stream2 dual-slot drain aggregation --------------------------------
     if check_pass(text, "stream2-agg"):
         wins = []

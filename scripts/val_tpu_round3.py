@@ -13,7 +13,13 @@ session can pay its Mosaic compiles in a separate time-boxed step;
 tune_from_session.py flips the ``stream_agg`` tuned default when the
 agg rows match 100% and beat the plain stream2 rows in both regimes.
 
-Usage: python scripts/val_tpu_round3.py [stream2|stream2agg|wide|all]
+The "widebits" mode runs ONLY the single-readout bit-packed box phase
+A/B (intersect_wide bits=True — CLIVE2_WIDE_BITS) in its own step, so
+a Mosaic compile failure there cannot starve the main wide gates;
+tune_from_session.py compares its rows against the wide mode's wide47k
+base rows (one shared log).
+
+Usage: python scripts/val_tpu_round3.py [stream2|stream2agg|wide|widebits|all]
 
 CLIVE2_VAL_SMOKE=1 shrinks every scene/ray count ~50x and runs the
 Pallas kernels in interpret mode, so the WHOLE control flow of this
@@ -173,6 +179,33 @@ def main():
                         tw.pack_bvh8(bvh, soup, compact=True).items()}
             check(tag + "-compact", fn, packed_c, ga)
             bench(tag + "-compact", fn, packed_c)
+
+    if WHICH in ("widebits", "all"):
+        from clive2_tpu.ops import traverse_wide as tw
+
+        # single-readout bit-packed box phase (CLIVE2_WIDE_BITS): the
+        # pop's 8 per-child jnp.min readouts + chained best-ref sweep
+        # (the measured serial cost; Mosaic serializes scalar/reduce
+        # chains) collapse into ONE f32 readout.  Also re-decides pop2
+        # and the group gate UNDER bits (the gate's 64 reduce->cond
+        # windows become 3 packed readouts, which can flip its sign).
+        soup = cluster_scene(scaled(47_000), seed=3)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v)
+                  for k, v in tw.pack_bvh8(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        for tag, kw in (("wide47k-bits", dict(bits=True)),
+                        ("wide47k-bits-pop2", dict(bits=True, pop2=True)),
+                        ("wide47k-bits-gate",
+                         dict(bits=True, group_gate=True))):
+            fn = jax.jit(lambda o, d, pk, kw=kw: tw.intersect_wide(
+                o, d, pk, interpret=SMOKE, **kw))
+            check(tag, fn, packed, ga)
+            bench(tag, fn, packed)
+
+    if WHICH in ("wide", "all"):
+        from clive2_tpu.ops import traverse_wide as tw
 
         # the compact-only window: scenes past the padded layout's VMEM
         # budget that now stay resident instead of streaming

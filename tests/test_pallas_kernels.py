@@ -208,6 +208,47 @@ class TestTraverseWide:
                                 interpret=True, group_gate=True)
         _assert_hits_equal(got, want, "wide group-gated")
 
+    def test_bits_box_phase_equivalence(self, rng):
+        """CLIVE2_WIDE_BITS: the single-readout bit-packed box phase
+        (per-child hit mask + nearest-inner tie mask in ONE f32 readout,
+        branch-free stack pushes) must be a pure scheduling knob —
+        identical hits across the compact layout, pop2, and the group
+        gate (whose 64 predicates it also bit-packs into 3 readouts),
+        all under an active mask."""
+        from clive2_tpu.ops import traverse_wide as tw
+
+        soup = _random_soup(rng, 600)
+        bvh = build_bvh(soup)
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 1100)
+        active = jnp.asarray(rng.uniform(size=1100) < 0.6)
+        want = intersect_bvh_packed(o, d, ga, active=active)
+        for compact in (False, True):
+            packed = {k: jnp.asarray(v) for k, v in
+                      tw.pack_bvh8(bvh, soup, compact=compact).items()}
+            for kw in ({}, dict(pop2=True), dict(group_gate=True),
+                       dict(group_gate=True, pop2=True)):
+                got = tw.intersect_wide(o, d, packed, active=active,
+                                        sort=True, interpret=True,
+                                        bits=True, **kw)
+                _assert_hits_equal(
+                    got, want, f"wide bits compact={compact} {kw}")
+
+    def test_pack_inner_flags(self, rng):
+        """wideboxes rows 48-55 mirror `childs` inner-ness exactly (the
+        bits box phase trusts the vector-side flags for the best-inner
+        tie mask)."""
+        from clive2_tpu.ops import traverse_wide as tw
+
+        soup = _random_soup(rng, 500)
+        bvh = build_bvh(soup)
+        packed = tw.pack_bvh8(bvh, soup)
+        n_wide = packed["childs"].size // tw.WIDE
+        flags = packed["wideboxes"][tw.FLAG_BASE:, :n_wide]
+        childs = packed["childs"].reshape(-1, tw.WIDE).T
+        np.testing.assert_array_equal(flags > 0.5, childs >= 0)
+
     def test_leaf_blocks_cover_all_triangles(self, rng):
         """Every triangle appears in exactly one leaf-block slot."""
         soup, _, packed, _ = self._packed(rng, 555)
@@ -616,6 +657,26 @@ class TestAnyHit:
                                 any_hit=True, interpret=True,
                                 group_gate=True)
         self._check(got, intersect_bvh_packed(o, d, ga), t_max)
+
+    def test_wide_any_hit_bits(self, rng):
+        """any_hit x CLIVE2_WIDE_BITS (+ gate): shadow casts are the
+        dominant production ray population, so the bit-packed box phase
+        must preserve the any-hit contract (blocked set + genuine t)."""
+        import clive2_tpu.ops.traverse_wide as tw
+
+        soup, bvh = self._scene(rng)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tw.pack_bvh8(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, 1200)
+        t_max = jnp.asarray(rng.uniform(1.0, 14.0, 1200).astype(np.float32))
+        oracle = intersect_bvh_packed(o, d, ga)
+        for kw in ({}, dict(group_gate=True)):
+            got = tw.intersect_wide(o, d, packed, sort=True, t_max=t_max,
+                                    any_hit=True, interpret=True,
+                                    bits=True, **kw)
+            self._check(got, oracle, t_max)
 
     def test_stream_any_hit(self, rng):
         soup, bvh = self._scene(rng, t=900)
