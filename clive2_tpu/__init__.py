@@ -20,6 +20,20 @@ _cache = _os.environ.get(
     _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),
 )
 if _cache not in ("0", ""):
+    # CPU-platform entries are XLA:CPU AOT objects compiled for THIS
+    # host's CPU features; the deployment migrates the VM between machine
+    # types, and loading another machine's entries warns (cpu_aot_loader
+    # "machine features ... doesn't match") and has SIGILL'd mid-suite.
+    # Key the CPU cache by a /proc/cpuinfo-flags fingerprint so each
+    # machine type gets its own namespace.  TPU entries are device code —
+    # host-independent — so the shared dir keeps its warm Mosaic compiles.
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        try:
+            from .utils.aot import _host_fingerprint
+
+            _cache = _os.path.join(_cache, "cpu-" + _host_fingerprint()[:12])
+        except Exception:
+            pass
     try:
         _jax.config.update("jax_compilation_cache_dir", _os.path.abspath(_cache))
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
