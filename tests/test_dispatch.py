@@ -205,3 +205,42 @@ def test_tune_from_session_decisions(tmp_path, monkeypatch):
     tied = mid.replace('"teapots_ggx_512x512", "value": 30.0',
                        '"teapots_ggx_512x512", "value": 20.0')
     assert "wave_order_mid" not in tfs.decide(tied)
+
+    # --- wide_bits: flips on a clean sweep and RE-decides pop2/gate from
+    # the rows measured WITH bits (the base-rule decisions were measured
+    # without bits; the gate's cost model changes completely under bits)
+    bits_rows = "\n".join([
+        "wide47k-bits coherent: id match 100.00%  hitrate 0.9/0.9",
+        "wide47k-bits incoherent: id match 100.00%  hitrate 0.6/0.6",
+        "wide47k-bits coherent:     7.0 ms ->  28.00 Mrays/s",
+        "wide47k-bits incoherent:  14.0 ms ->  14.00 Mrays/s",
+        "wide47k-bits-gate coherent: id match 100.00%  hitrate 0.9/0.9",
+        "wide47k-bits-gate incoherent: id match 100.00%  hitrate 0.6/0.6",
+        "wide47k-bits-gate coherent:     9.0 ms ->  22.00 Mrays/s",
+        "wide47k-bits-gate incoherent:  18.0 ms ->  11.00 Mrays/s",
+    ])
+    d = tfs.decide(win_log + "\n" + bits_rows)
+    assert d.get("wide_bits") == "1"
+    # base rule set wide_gate (gate beat base without bits), but under
+    # bits the gate LOSES -> the re-decision must remove it
+    assert "wide_gate" not in d
+    # no bits-pop2 rows at all -> pop2 stays unset
+    assert "wide_pop2" not in d
+    # bits-gate beating bits -> gate survives the re-decision
+    faster_gate = (win_log + "\n" + bits_rows).replace(
+        "wide47k-bits-gate coherent:     9.0 ms ->  22.00 Mrays/s",
+        "wide47k-bits-gate coherent:     6.0 ms ->  33.00 Mrays/s",
+    ).replace(
+        "wide47k-bits-gate incoherent:  18.0 ms ->  11.00 Mrays/s",
+        "wide47k-bits-gate incoherent:  12.0 ms ->  16.00 Mrays/s",
+    )
+    d = tfs.decide(faster_gate)
+    assert d.get("wide_bits") == "1" and d.get("wide_gate") == "1"
+    # bits loses a regime -> no flip, and the base-rule gate decision
+    # stands untouched
+    bits_slow = (win_log + "\n" + bits_rows).replace(
+        "wide47k-bits incoherent:  14.0 ms ->  14.00 Mrays/s",
+        "wide47k-bits incoherent:  40.0 ms ->   5.00 Mrays/s",
+    )
+    d = tfs.decide(bits_slow)
+    assert "wide_bits" not in d and d.get("wide_gate") == "1"
