@@ -56,9 +56,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import DELTA
 from .traverse_pallas2 import _morton_key
+from ..utils.tuned import tuned_default
 from .traverse_stream import (
     MAX_BLOCKS_PER_CALL,
-    NBUF,
     STACK_DEPTH,
     _cut_mask,
     _pack_minmax,
@@ -96,8 +96,19 @@ STREAM_MM = os.environ.get("CLIVE2_STREAM_MM", "dot")
 # conservative-safe (a node entered at tmin > best cannot win) and
 # exactly what the reference's per-thread `ray.t` early-out does
 # (trace.metal:110, :152).  0 = static caps only (A/B knob).
-STREAM_OCC = int(os.environ.get("CLIVE2_STREAM_OCC", "1"))
-RAY_ROWS = int(os.environ.get("CLIVE2_STREAM_ROWS", 32))
+STREAM_OCC = int(os.environ.get("CLIVE2_STREAM_OCC")
+                 or tuned_default("stream2_occ", "1"))
+# ROWS / NBUF are stream2's OWN knobs (same env vars as the VPU stream
+# kernel, but tuned defaults diverge: stream1's measured optima are
+# ROWS=32 / NBUF=4 while the DMA model predicts ROWS=48 and a deeper
+# ring for the MXU drain — tune_from_session writes the stream2_* keys
+# from whichever knob-sweep section wins on hardware).
+RAY_ROWS = int(os.environ.get("CLIVE2_STREAM_ROWS")
+               or tuned_default("stream2_rows", "32"))
+NBUF = int(os.environ.get("CLIVE2_STREAM_NBUF")
+           or tuned_default("stream2_nbuf", "4"))
+assert NBUF >= 2 and (NBUF & (NBUF - 1)) == 0, \
+    "CLIVE2_STREAM_NBUF must be a power of two >= 2"
 assert RAY_ROWS % SUBLANES == 0
 BLOCK_RAYS = RAY_ROWS * LANES          # rays per packet
 NCHUNK = BLOCK_RAYS // LANES           # 128-ray matmul chunks per packet
@@ -118,10 +129,13 @@ SUB_SLOTS = 8                          # triangles per SAH leaf
 INF = float("inf")
 
 
-def _make_kernel(n_fat_cols: int, any_hit: bool = False, agg: bool = False):
-    if agg and (STREAM_MM != "dot" or STREAM_STAGE):
+def _make_kernel(n_fat_cols: int, any_hit: bool = False, agg: int = 1):
+    """``agg`` = ring slots drained per MXU pass (1, 2 or 4 — see
+    drain_multi)."""
+    assert agg in (1, 2, 4)
+    if agg > 1 and (STREAM_MM != "dot" or STREAM_STAGE):
         raise ValueError(
-            "CLIVE2_STREAM_AGG=1 requires the default drain "
+            "CLIVE2_STREAM_AGG requires the default drain "
             "(CLIVE2_STREAM_MM=dot, CLIVE2_STREAM_STAGE=0)")
     return functools.partial(_kernel, n_fat_cols, any_hit, agg)
 
@@ -327,60 +341,64 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
 
         jax.lax.fori_loop(span_lo, span_hi + 1, drain_chunk, 0)
 
-    def drain2(qhead):
-        """Aggregated drain: TWO ready ring slots in ONE MXU pass per live
-        chunk ([2*5*cols, K] @ [K, 128]) — amortizes the per-chunk-visit
-        fixed cost (mask word read, fori bookkeeping, acc_t/acc_c
-        read-modify-write, matmul issue latency) across two fat-leaf
-        blocks.  Per-row dot products are independent, so each block's
-        numbers are bit-identical to two single drains; the merge applies
-        slot A then slot B, the same order the single-slot path visits
-        them.  A chunk live in only one slot's mask pays both blocks'
-        elementwise merge (the exact ok-window masks the foreign block's
-        rows), and the occlusion plane refreshes once per PAIR instead of
-        once per slot — both conservative-safe.  Worth it only if the
-        fixed cost is a large share of the measured ~160 ns/chunk-visit
-        (scripts/dma_model.py's open question); the hardware A/B
-        (val_tpu_round3.py stream2agg mode) decides, and
+    def drain_multi(qhead, n):
+        """Aggregated drain: ``n`` ready ring slots in ONE MXU pass per
+        live chunk ([n*5*cols, K] @ [K, 128]) — amortizes the
+        per-chunk-visit fixed cost (mask word read, fori bookkeeping,
+        acc_t/acc_c read-modify-write, matmul issue latency) across n
+        fat-leaf blocks.  Per-row dot products are independent, so each
+        block's numbers are bit-identical to n single drains; the merge
+        applies the slots in ring order, the same order the single-slot
+        path visits them.  A chunk live in only one slot's mask pays all
+        n blocks' elementwise merge (the exact ok-window masks the
+        foreign blocks' rows), and the occlusion plane refreshes once per
+        GROUP instead of once per slot — both conservative-safe.  Worth
+        it only if the fixed cost is a large share of the measured
+        ~160 ns/chunk-visit (scripts/dma_model.py's open question); the
+        hardware A/B (val_tpu_round3.py stream2agg mode: agg rows at
+        n=2, agg4 rows at n=4 with a deeper ring) decides, and
         tune_from_session.py flips the ``stream_agg`` tuned default on a
-        double win."""
-        slot_a = qhead & (NBUF - 1)
-        slot_b = (qhead + 1) & (NBUF - 1)
-        pltpu.make_async_copy(
-            leafblocks.at[0], blocks.at[slot_a], sem.at[slot_a]
-        ).wait()
-        pltpu.make_async_copy(
-            leafblocks.at[0], blocks.at[slot_b], sem.at[slot_b]
-        ).wait()
+        double win.  n=4 also multiplies the foreign-merge cost on
+        disjoint live-chunk sets, so its sign can differ from n=2's."""
+        slots = [(qhead + k) & (NBUF - 1) for k in range(n)]
+        for s in slots:
+            pltpu.make_async_copy(
+                leafblocks.at[0], blocks.at[s], sem.at[s]
+            ).wait()
         if STREAM_DIAG == "nodrain":
             return
         feat = jnp.concatenate(
-            [blocks[slot_a], blocks[slot_b]], axis=0)      # [2*5*cols, KDIM]
+            [blocks[s] for s in slots], axis=0)            # [n*5*cols, KDIM]
 
-        def _drain_pair(c, feat):
+        def _drain_group(c, feat):
             rf = rayfeat[:, pl.ds(c * LANES, LANES)]       # [KDIM, 128]
             prod = jnp.dot(feat, rf, preferred_element_type=jnp.float32,
                            precision=STREAM_PREC)
-            t1, c1 = _merge_hits(prod, 0, acc_t[c], acc_c[c])
-            t2, c2 = _merge_hits(prod, GROUPS * cols, t1, c1)
-            acc_t[c] = t2
-            acc_c[c] = c2
-            _occ_update(c, t2)
+            t_c, c_c = acc_t[c], acc_c[c]
+            for k in range(n):
+                t_c, c_c = _merge_hits(prod, k * GROUPS * cols, t_c, c_c)
+            acc_t[c] = t_c
+            acc_c[c] = c_c
+            _occ_update(c, t_c)
             return 0
 
         def drain_chunk(c, _):
-            live = ((qmask[slot_a, c >> 4] | qmask[slot_b, c >> 4])
-                    >> (c & 15)) & 1
+            word = qmask[slots[0], c >> 4]
+            for s in slots[1:]:
+                word = word | qmask[s, c >> 4]
+            live = (word >> (c & 15)) & 1
 
             @pl.when(live == 1)
             def _():
-                _drain_pair(c, feat)
+                _drain_group(c, feat)
 
             return 0
 
-        span_lo = jnp.minimum(qmask[slot_a, NMASKW], qmask[slot_b, NMASKW])
-        span_hi = jnp.maximum(qmask[slot_a, NMASKW + 1],
-                              qmask[slot_b, NMASKW + 1])
+        span_lo = qmask[slots[0], NMASKW]
+        span_hi = qmask[slots[0], NMASKW + 1]
+        for s in slots[1:]:
+            span_lo = jnp.minimum(span_lo, qmask[s, NMASKW])
+            span_hi = jnp.maximum(span_hi, qmask[s, NMASKW + 1])
         jax.lax.fori_loop(span_lo, span_hi + 1, drain_chunk, 0)
 
     # ---- node phase: pop SMEM nodes, DMA fat-leaf children -----------------
@@ -462,20 +480,37 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
     def outer_body(c):
         sp, qhead, qcount = node_phase(c)
 
-        if agg:
-            @pl.when(qcount > 1)
+        if agg == 4:
+            @pl.when(qcount >= 4)
             def _():
-                drain2(qhead)
+                drain_multi(qhead, 4)
+
+            @pl.when((qcount >= 2) & (qcount < 4))
+            def _():
+                drain_multi(qhead, 2)
 
             @pl.when(qcount == 1)
             def _():
                 drain(qhead)
+
+            adv = jnp.where(qcount >= 4, 4,
+                            jnp.where(qcount >= 2, 2, qcount))
+        elif agg == 2:
+            @pl.when(qcount > 1)
+            def _():
+                drain_multi(qhead, 2)
+
+            @pl.when(qcount == 1)
+            def _():
+                drain(qhead)
+
+            adv = jnp.minimum(qcount, 2)
         else:
             @pl.when(qcount > 0)
             def _():
                 drain(qhead)
 
-        adv = jnp.minimum(qcount, 2 if agg else 1)
+            adv = jnp.minimum(qcount, 1)
         qhead = qhead + adv
         qcount = qcount - adv
         return sp, qhead, qcount
@@ -522,7 +557,7 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
                                     "any_hit", "agg"))
 def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, planes,
                      n_blocks: int, cols: int, interpret: bool = False,
-                     any_hit: bool = False, agg: bool = False):
+                     any_hit: bool = False, agg: int = 1):
     plane = lambda: pl.BlockSpec(
         (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -600,12 +635,23 @@ def intersect_stream2(origin, direction, packed, active=None, sort=False,
     says shadow casts are the worst streaming regime; this trims their
     visits).  Requires CLIVE2_STREAM_OCC=1 (default); with culling off
     the closest-under-cap answer is still a valid any-hit answer.
-    ``agg`` drains two ring slots per MXU pass (see drain2); None defers
-    to CLIVE2_STREAM_AGG, then the deployment-tuned ``stream_agg``."""
+    ``agg`` = ring slots drained per MXU pass (see drain_multi): 1 (or
+    False) single-slot, 2 (or True) dual-slot, 4 quad-slot (needs an
+    NBUF>=8 ring to ever see 4 ready slots; silently clamped to 2
+    otherwise so a tuned default can't crash a shallow-ring run).  None
+    defers to CLIVE2_STREAM_AGG ("0"/"1"/"2"/"4" — "1" means dual-slot
+    for back-compat), then the deployment-tuned ``stream_agg``."""
     if agg is None:
-        from ..utils.tuned import tuned_default
-        agg = (os.environ.get("CLIVE2_STREAM_AGG")
-               or tuned_default("stream_agg", "0")) == "1"
+        raw = (os.environ.get("CLIVE2_STREAM_AGG")
+               or tuned_default("stream_agg", "0"))
+        agg = {"0": 1, "1": 2, "2": 2, "4": 4}.get(str(raw), 1)
+    elif agg is True:
+        agg = 2
+    elif not agg:
+        agg = 1
+    agg = int(agg)
+    if agg == 4 and NBUF < 8:
+        agg = 2
     if sort and "lo" in packed:
         key = _morton_key(origin, direction, packed["lo"], packed["hi"],
                           active=active)
@@ -661,7 +707,7 @@ def intersect_stream2(origin, direction, packed, active=None, sort=False,
         return _traverse_blocks(
             packed["nodebox"], packed["childs"], packed["leafblocks"],
             rf, pls, blocks_count, cols, interpret=interpret,
-            any_hit=bool(any_hit and STREAM_OCC), agg=bool(agg),
+            any_hit=bool(any_hit and STREAM_OCC), agg=agg,
         )
 
     if n_super > 1:

@@ -20,7 +20,14 @@ Keys currently understood:
   pallas_vmem: VMEM budget in bytes for the resident packet kernels
                (default 9 MB; 14 MB once hardware proves the compact
                202k-tri pack compiles and wins its bench A/B)
-  stream_agg:  "0" | "1" (stream2 dual-slot drain aggregation)
+  stream_agg:  "0" | "1" | "4" (stream2 drain aggregation depth:
+               single / dual / quad ring slots per MXU pass; quad
+               self-clamps to dual when the ring is shallower than 8)
+  stream2_rows / stream2_nbuf / stream2_occ: the MXU streaming kernel's
+               packet rows / DMA-ring depth / occlusion-culling knobs
+               (defaults 32 / 4 / 1; the same CLIVE2_STREAM_* env vars
+               always override, and the VPU stream kernel keeps its own
+               env-only defaults)
   wave_order:  "morton" | "raster" (static wavefront order on streaming
                scenes — integrator/render.py _wave_order)
   wave_order_mid: same, for the VMEM-resident packet-kernel scenes

@@ -47,8 +47,13 @@ if grep -q "stream2 coherent: id match 100" "$LOG"; then
   # or the matmul itself (agg loses); tune_from_session flips stream_agg
   for rows in 32 48; do
     CLIVE2_STREAM_ROWS=$rows \
-      step 1800 python scripts/val_tpu_round3.py stream2agg
+      step 2400 python scripts/val_tpu_round3.py stream2agg
   done
+  # quad-slot drain aggregation: needs the deeper ring (agg4 rows only
+  # emit when NBUF >= 8); the step's own stream2/stream2-agg rows give
+  # the same-env baselines
+  CLIVE2_STREAM_ROWS=48 CLIVE2_STREAM_NBUF=8 \
+    step 2400 python scripts/val_tpu_round3.py stream2agg
   # end-to-end A/B on the big-scene bench configs (defaults use impl 1;
   # this row set decides whether to flip the scene.py default)
   CLIVE2_STREAM_IMPL=2 BENCH_CONFIGS=medium_dragon,big_dragon,sponza_1080p \

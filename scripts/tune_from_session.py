@@ -11,6 +11,13 @@ Decisions (conservative — a flip requires BOTH correctness and a win):
                   losing on big_dragon.
   wide_gate=1     if the wide47k-gate check matched 100% in both regimes
                   and its bench beat the ungated wide47k in both.
+  stream2_rows/stream2_nbuf/stream2_occ/stream_agg   from the knob-sweep
+                  val section (each self-describes its effective config
+                  via its "stream2 knobs:" line; agg depth from which
+                  row tag won) that strictly beats the default config
+                  in BOTH regimes with the best coherent*incoherent
+                  product.  Without this rule a winning sweep config
+                  would be measured and never deployed.
   wave_order=raster  if the CLIVE2_WAVE_ORDER=raster bench section beats
                   the default (morton) section on every streaming config
                   both report (correctness is estimator-invariant — lane
@@ -73,6 +80,51 @@ def bench_mrays(text, tag, regime):
                      rf"([\d.]+) Mrays/s", re.M)
     vals = [float(v) for v in pat.findall(text)]
     return max(vals) if vals else None
+
+
+def parse_val_sections(text):
+    """(cmd, body) per '=== START [env] cmd (date)' step block."""
+    sections = []
+    cur_lines = None
+    cur_cmd = None
+    for line in text.splitlines():
+        if "=== START" in line:
+            if cur_cmd is not None:
+                sections.append((cur_cmd, "\n".join(cur_lines)))
+            cur_cmd = line
+            cur_lines = []
+        elif cur_cmd is not None:
+            cur_lines.append(line)
+    if cur_cmd is not None:
+        sections.append((cur_cmd, "\n".join(cur_lines)))
+    return sections
+
+
+def _stream2_candidates(text):
+    """One candidate per (val section, agg depth) whose correctness gate
+    passed and whose bench rows exist: the section's effective knobs
+    (from its self-describing "stream2 knobs:" line) + the agg depth +
+    the two regime throughputs."""
+    tag_agg = (("stream2", "0"), ("stream2-agg", "1"), ("stream2-agg4", "4"))
+    out = []
+    for cmd, body in parse_val_sections(text):
+        if "val_tpu_round3.py" not in cmd:
+            continue
+        knobs = re.search(r"^stream2 knobs: rows=(\d+) nbuf=(\d+) "
+                          r"occ=(\d+)", body, re.M)
+        if not knobs:
+            continue
+        for tag, aggv in tag_agg:
+            if not check_pass(body, tag):
+                continue
+            coh = bench_mrays(body, tag, "coherent")
+            inc = bench_mrays(body, tag, "incoherent")
+            if coh is None or inc is None:
+                continue
+            out.append(dict(rows=knobs.group(1), nbuf=knobs.group(2),
+                            occ=knobs.group(3), agg=aggv,
+                            coh=coh, inc=inc))
+    return out
 
 
 def decide(text):
@@ -140,15 +192,26 @@ def decide(text):
                 else:
                     updates.pop(knob, None)
 
-    # --- stream2 dual-slot drain aggregation --------------------------------
-    if check_pass(text, "stream2-agg"):
-        wins = []
-        for regime in ("coherent", "incoherent"):
-            base = bench_mrays(text, "stream2", regime)
-            ag = bench_mrays(text, "stream2-agg", regime)
-            wins.append(base is not None and ag is not None and ag > base)
-        if all(wins):
-            updates["stream_agg"] = "1"
+    # --- stream2 knob configuration (rows x nbuf x occ x agg depth) ---------
+    # The session sweeps these knobs across val sections; each section
+    # self-describes its effective config via the "stream2 knobs:" line.
+    # The winner (strictly beating the default config in BOTH regimes;
+    # best coherent*incoherent product among those) deploys as the
+    # stream2_* tuned defaults — without this, a winning sweep config
+    # would be measured and then never used.
+    cands = _stream2_candidates(text)
+    base = next((c for c in cands if (c["rows"], c["nbuf"], c["occ"],
+                                      c["agg"]) == ("32", "4", "1", "0")),
+                None)
+    if base is not None:
+        better = [c for c in cands
+                  if c["coh"] > base["coh"] and c["inc"] > base["inc"]]
+        if better:
+            win = max(better, key=lambda c: c["coh"] * c["inc"])
+            updates["stream2_rows"] = win["rows"]
+            updates["stream2_nbuf"] = win["nbuf"]
+            updates["stream2_occ"] = win["occ"]
+            updates["stream_agg"] = win["agg"]
 
     sections = parse_bench_sections(text)
     default = next((rows for hdr, rows in reversed(sections)

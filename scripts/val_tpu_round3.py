@@ -124,6 +124,11 @@ def main():
                   for k, v in ts2.pack_stream2(bvh, soup).items()}
         print(f"stream2 fat blocks {packed['leafblocks'].shape} "
               f"{packed['leafblocks'].size*2/1e6:.0f} MB bf16", flush=True)
+        # effective knobs (env OR tuned defaults) — tune_from_session
+        # attributes this section's rows to this exact configuration,
+        # immune to a pre-existing tuned.json shifting the defaults
+        print(f"stream2 knobs: rows={ts2.RAY_ROWS} nbuf={ts2.NBUF} "
+              f"occ={ts2.STREAM_OCC}", flush=True)
         ga = {k: jnp.asarray(v) for k, v in
               pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
         if WHICH == "stream2agg":
@@ -131,6 +136,20 @@ def main():
                 o, d, pk, sort=True, agg=True, interpret=SMOKE))
             check("stream2-agg", fna, packed, ga)
             bench("stream2-agg", fna, packed)
+            if ts2.NBUF >= 8:
+                # quad-slot drain: only meaningful with a ring deep
+                # enough to hold 4 ready slots (the session pins
+                # CLIVE2_STREAM_NBUF=8 for this step)
+                fn4 = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
+                    o, d, pk, sort=True, agg=4, interpret=SMOKE))
+                check("stream2-agg4", fn4, packed, ga)
+                bench("stream2-agg4", fn4, packed)
+            # same-env single-slot baseline so the tuner can compare
+            # agg depths within ONE knob configuration
+            fnb = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
+                o, d, pk, sort=True, agg=False, interpret=SMOKE))
+            check("stream2", fnb, packed, ga)
+            bench("stream2", fnb, packed)
         else:
             fn = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
                 o, d, pk, sort=True, agg=False, interpret=SMOKE))

@@ -21,6 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
 # row-count-independent).  Must be set before clive2_tpu imports.
 os.environ.setdefault("CLIVE2_STREAM_ROWS", "8")
 
+# Deeper DMA ring so the quad-slot drain aggregation (agg=4) actually
+# sees 4 ready slots in the interpret-equivalence tests (NBUF=4 caps the
+# queue at 4 transiently; the kernels are knob-agnostic by contract).
+os.environ.setdefault("CLIVE2_STREAM_NBUF", "8")
+
 # Hermetic kernel selection: a hardware-validation session may have
 # written deployment-tuned defaults (output/tuned.json); the dispatch
 # tests assert the untuned defaults, and every tuned path is covered

@@ -244,3 +244,58 @@ def test_tune_from_session_decisions(tmp_path, monkeypatch):
     )
     d = tfs.decide(bits_slow)
     assert "wide_bits" not in d and d.get("wide_gate") == "1"
+
+
+def test_stream2_config_selection():
+    """The knob-sweep tuner: each val section self-describes its config;
+    the winner must strictly beat the default config in both regimes."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import importlib
+
+    tfs = importlib.import_module("tune_from_session")
+
+    def sec(env, rows, nbuf, occ, rowspec):
+        lines = [f"=== START [{env}] python scripts/val_tpu_round3.py "
+                 "stream2 (date)",
+                 f"stream2 knobs: rows={rows} nbuf={nbuf} occ={occ}"]
+        for tag, coh, inc in rowspec:
+            lines += [
+                f"{tag} coherent: id match 100.00%  hitrate 0.9/0.9",
+                f"{tag} incoherent: id match 100.00%  hitrate 0.6/0.6",
+                f"{tag} coherent:   100.0 ms ->  {coh:.2f} Mrays/s",
+                f"{tag} incoherent: 200.0 ms ->  {inc:.2f} Mrays/s",
+            ]
+        return "\n".join(lines)
+
+    log = "\n".join([
+        sec("", 32, 4, 1, [("stream2", 10.0, 5.0)]),
+        sec("CLIVE2_STREAM_ROWS=48 ", 48, 4, 1, [("stream2", 12.0, 6.0)]),
+        sec("CLIVE2_STREAM_ROWS=48 CLIVE2_STREAM_NBUF=8 ", 48, 8, 1,
+            [("stream2", 12.0, 6.0), ("stream2-agg", 13.0, 7.0),
+             ("stream2-agg4", 15.0, 8.0)]),
+    ])
+    d = tfs.decide(log)
+    assert (d["stream2_rows"], d["stream2_nbuf"], d["stream2_occ"],
+            d["stream_agg"]) == ("48", "8", "1", "4")
+
+    # agg4 correctness gate failed -> the dual-slot candidate wins
+    broken4 = log.replace("stream2-agg4 incoherent: id match 100.00%",
+                          "stream2-agg4 incoherent: id match 98.00%")
+    d = tfs.decide(broken4)
+    assert (d["stream2_nbuf"], d["stream_agg"]) == ("8", "1")
+
+    # nothing strictly beats the default in both regimes -> no flips
+    flat = log.replace("12.00 Mrays/s", "10.00 Mrays/s") \
+              .replace("13.00 Mrays/s", "9.00 Mrays/s") \
+              .replace("15.00 Mrays/s", "9.50 Mrays/s")
+    d = tfs.decide(flat)
+    assert not any(k.startswith("stream2_") for k in d)
+    assert "stream_agg" not in d
+
+    # no default-config section (e.g. tuned.json already shifted the
+    # defaults) -> conservative: no flips
+    nodefault = "\n".join(log.split("\n")[6:])
+    d = tfs.decide(nodefault)
+    assert not any(k.startswith("stream2_") for k in d)

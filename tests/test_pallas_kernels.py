@@ -515,12 +515,16 @@ class TestTraverseStream2:
         o, d = _random_rays(rng, 600)
         want = tstream2.intersect_stream2(o, d, packed, sort=True,
                                           interpret=True, agg=False)
-        got = tstream2.intersect_stream2(o, d, packed, sort=True,
-                                         interpret=True, agg=True)
-        _assert_hits_equal(got, want, "stream2 agg")
-        # and both match the oracle
-        self._assert_mostly_equal(
-            got, intersect_bvh_packed(o, d, ga), "stream2 agg vs oracle")
+        for depth in (True, 4):    # dual-slot (back-compat bool) and quad
+            assert not (depth == 4 and tstream2.NBUF < 8), \
+                "conftest pins CLIVE2_STREAM_NBUF=8 so agg=4 is real"
+            got = tstream2.intersect_stream2(o, d, packed, sort=True,
+                                             interpret=True, agg=depth)
+            _assert_hits_equal(got, want, f"stream2 agg={depth}")
+            # and both match the oracle
+            self._assert_mostly_equal(
+                got, intersect_bvh_packed(o, d, ga),
+                f"stream2 agg={depth} vs oracle")
 
     def test_agg_any_hit_semantics(self, rng):
         """agg drain under any_hit: blocked set == the oracle's under-cap
@@ -529,15 +533,17 @@ class TestTraverseStream2:
         _, _, packed, ga = self._packed(rng, t=900)
         o, d = _random_rays(rng, 800)
         t_max = jnp.asarray(rng.uniform(1.0, 14.0, 800).astype(np.float32))
-        gi, gt, _, _ = tstream2.intersect_stream2(
-            o, d, packed, sort=True, t_max=t_max, any_hit=True,
-            interpret=True, agg=True)
         wi, wt, _, _ = intersect_bvh_packed(o, d, ga)
         blocked_want = ((np.asarray(wi) >= 0)
                         & (np.asarray(wt) < np.asarray(t_max)))
-        np.testing.assert_array_equal(np.asarray(gi) >= 0, blocked_want)
-        hit = np.asarray(gi) >= 0
-        assert (np.asarray(gt)[hit] < np.asarray(t_max)[hit] + 1e-6).all()
+        for depth in (True, 4):
+            gi, gt, _, _ = tstream2.intersect_stream2(
+                o, d, packed, sort=True, t_max=t_max, any_hit=True,
+                interpret=True, agg=depth)
+            np.testing.assert_array_equal(np.asarray(gi) >= 0, blocked_want)
+            hit = np.asarray(gi) >= 0
+            assert (np.asarray(gt)[hit]
+                    < np.asarray(t_max)[hit] + 1e-6).all()
         assert (np.asarray(gt)[hit] >= np.asarray(wt)[hit] - 1e-5).all()
 
     def test_capped_launches_equal_uncapped(self, rng, monkeypatch):
