@@ -32,6 +32,12 @@ step 3600 python scripts/val_tpu_round3.py wide
 # compile failure there cannot starve the gates above
 step 2400 python scripts/val_tpu_round3.py widebits
 
+# checkpoint the flips earned so far (idempotent — decide() re-parses
+# the whole log): if the chip drops mid-session, the wide-kernel wins
+# from the gates above still deploy.  Later benches then measure the
+# tuned kernels, which is what production would run.
+step 120 python scripts/tune_from_session.py "$LOG"
+
 if grep -q "stream2 coherent: id match 100" "$LOG"; then
   for rows in 32 48; do
     for occ in 1 0; do
@@ -54,6 +60,8 @@ if grep -q "stream2 coherent: id match 100" "$LOG"; then
   # the same-env baselines
   CLIVE2_STREAM_ROWS=48 CLIVE2_STREAM_NBUF=8 \
     step 2400 python scripts/val_tpu_round3.py stream2agg
+  # checkpoint the stream2 knob-config winner before the long benches
+  step 120 python scripts/tune_from_session.py "$LOG"
   # end-to-end A/B on the big-scene bench configs (defaults use impl 1;
   # this row set decides whether to flip the scene.py default)
   CLIVE2_STREAM_IMPL=2 BENCH_CONFIGS=medium_dragon,big_dragon,sponza_1080p \

@@ -190,7 +190,10 @@ def decide(text):
                 if check_pass(text, tag) and all(sub):
                     updates[knob] = "1"
                 else:
-                    updates.pop(knob, None)
+                    # explicit "0": write_tuned MERGES, so a flip earned
+                    # by an earlier (intermediate) tune run must be
+                    # actively overridden once bits changes the basis
+                    updates[knob] = "0"
 
     # --- stream2 knob configuration (rows x nbuf x occ x agg depth) ---------
     # The session sweeps these knobs across val sections; each section

@@ -222,10 +222,12 @@ def test_tune_from_session_decisions(tmp_path, monkeypatch):
     d = tfs.decide(win_log + "\n" + bits_rows)
     assert d.get("wide_bits") == "1"
     # base rule set wide_gate (gate beat base without bits), but under
-    # bits the gate LOSES -> the re-decision must remove it
-    assert "wide_gate" not in d
-    # no bits-pop2 rows at all -> pop2 stays unset
-    assert "wide_pop2" not in d
+    # bits the gate LOSES -> the re-decision must write an EXPLICIT "0"
+    # (write_tuned merges; an earlier intermediate tune run may have
+    # already persisted the pre-bits flip)
+    assert d.get("wide_gate") == "0"
+    # no bits-pop2 rows at all -> unmeasured combo must not deploy
+    assert d.get("wide_pop2") == "0"
     # bits-gate beating bits -> gate survives the re-decision
     faster_gate = (win_log + "\n" + bits_rows).replace(
         "wide47k-bits-gate coherent:     9.0 ms ->  22.00 Mrays/s",
