@@ -24,6 +24,11 @@ step() {
   echo "=== rc=$? $* ($(date))" >> "$LOG"
 }
 
+# first contact: two fast production-default bench rows so even a brief
+# chip window (axon has flapped for multi-hour stretches) leaves fresh
+# hardware numbers in the log and warm compile caches for the driver
+BENCH_CONFIGS=cornell_256,dragon_512 step 420 python bench.py
+
 # split the gates so an overrun in one section cannot starve the other
 # (the wide section now carries 3 extra Mosaic compiles: the compact rows)
 step 2400 python scripts/val_tpu_round3.py stream2
@@ -92,6 +97,12 @@ CLIVE2_PALLAS_VMEM=14680064 BENCH_TIME_BUDGET=3 BENCH_CONFIGS=medium_dragon \
   step 1200 python bench.py
 
 step 900 python scripts/shade_ab.py
+
+# stage-level wall breakdown on the two mid-size workhorses: the data
+# the NEXT optimization round needs (is the teapots ~140 ms MIS/contrib
+# stage still the wall after this round's kernel flips?)
+step 900 python scripts/profile_stages.py teapots 512 3
+step 900 python scripts/profile_stages.py dragon 512 3
 
 step 2400 python bench.py
 
