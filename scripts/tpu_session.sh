@@ -96,6 +96,11 @@ CLIVE2_WAVE_ORDER=morton BENCH_CONFIGS=teapots_512,dragon_512 \
 CLIVE2_PALLAS_VMEM=14680064 BENCH_TIME_BUDGET=3 BENCH_CONFIGS=medium_dragon \
   step 1200 python bench.py
 
+# drain-overhead split ablations (nodrain/count): the measurement that
+# says whether the ~160 ns/chunk-visit is fixed issue cost (deeper agg
+# is the next lever) or the matmul itself (it is not)
+step 1800 python scripts/diag_stream.py 871000 1000000
+
 step 900 python scripts/shade_ab.py
 
 # stage-level wall breakdown on the two mid-size workhorses: the data
