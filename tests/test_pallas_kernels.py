@@ -665,24 +665,29 @@ class TestAnyHit:
         self._check(got, intersect_bvh_packed(o, d, ga), t_max)
 
     def test_wide_any_hit_bits(self, rng):
-        """any_hit x CLIVE2_WIDE_BITS (+ gate): shadow casts are the
-        dominant production ray population, so the bit-packed box phase
-        must preserve the any-hit contract (blocked set + genuine t)."""
+        """any_hit x CLIVE2_WIDE_BITS across the full production knob
+        matrix (gate/pop2/compact): shadow casts are the dominant ray
+        population, and a tuner flip can deploy any combination — e.g.
+        wide_bits=1 + wide_pop2=1 on a compact-fallback scene — so every
+        combo must preserve the any-hit contract (blocked set equality +
+        genuine t)."""
         import clive2_tpu.ops.traverse_wide as tw
 
         soup, bvh = self._scene(rng)
-        packed = {k: jnp.asarray(v) for k, v in
-                  tw.pack_bvh8(bvh, soup).items()}
         ga = {k: jnp.asarray(v) for k, v in
               pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
         o, d = _random_rays(rng, 1200)
         t_max = jnp.asarray(rng.uniform(1.0, 14.0, 1200).astype(np.float32))
         oracle = intersect_bvh_packed(o, d, ga)
-        for kw in ({}, dict(group_gate=True)):
-            got = tw.intersect_wide(o, d, packed, sort=True, t_max=t_max,
-                                    any_hit=True, interpret=True,
-                                    bits=True, **kw)
-            self._check(got, oracle, t_max)
+        for compact in (False, True):
+            packed = {k: jnp.asarray(v) for k, v in
+                      tw.pack_bvh8(bvh, soup, compact=compact).items()}
+            for kw in ({}, dict(group_gate=True), dict(pop2=True),
+                       dict(group_gate=True, pop2=True)):
+                got = tw.intersect_wide(o, d, packed, sort=True,
+                                        t_max=t_max, any_hit=True,
+                                        interpret=True, bits=True, **kw)
+                self._check(got, oracle, t_max)
 
     def test_stream_any_hit(self, rng):
         soup, bvh = self._scene(rng, t=900)
