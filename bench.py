@@ -25,9 +25,16 @@ emits {"value": null, "unit": "timeout"|"error"} for that row.  (The
 round-2 artifact was truncated — rc=124 — because sponza overran the
 driver budget; budgets are the fix.)
 
+Configs that finish under their budget donate the unspent seconds to the
+configs after them ("surplus rolling"), so a cold Mosaic compile on the
+big-scene rows can use the time the small rows didn't need while the
+worst-case total stays sum(budgets).
+
 Env overrides: BENCH_CONFIGS (comma list of names above, or "headline"),
 BENCH_WIDTH/BENCH_HEIGHT/BENCH_SAMPLES/BENCH_SCENE for the headline,
-BENCH_TIME_BUDGET (scale factor on the per-config budgets, default 1.0).
+BENCH_TIME_BUDGET (scale factor on the per-config budgets, default 1.0),
+BENCH_BUDGET_OVERRIDE (absolute seconds for a single config, set by the
+parent process when surplus rolling is in effect).
 """
 
 from __future__ import annotations
@@ -202,8 +209,9 @@ def run_config(cfg: str):
     constants.TIMED_ENABLED = False
     _ensure_assets()
 
-    budget = BUDGETS.get(cfg, 180) * float(
-        os.environ.get("BENCH_TIME_BUDGET", "1.0"))
+    budget = float(os.environ.get("BENCH_BUDGET_OVERRIDE", "0")) or (
+        BUDGETS.get(cfg, 180) * float(
+            os.environ.get("BENCH_TIME_BUDGET", "1.0")))
     deadline = time.monotonic() + budget * 0.92   # leave margin to report
 
     if cfg == "headline":
@@ -280,11 +288,19 @@ def main():
                 }), flush=True)
             return
         _ensure_assets()
+        # surplus rolling: configs that finish under budget donate their
+        # unspent seconds to later (bigger) configs, so a cold Mosaic
+        # compile on sponza/big_dragon gets the time cornell didn't use —
+        # the worst-case TOTAL stays sum(budgets), which is what the
+        # driver's recording budget was sized against
+        surplus = 0.0
         for cfg in configs:
             cfg = cfg.strip()
             budget = BUDGETS.get(cfg, 180) * float(
-                os.environ.get("BENCH_TIME_BUDGET", "1.0"))
-            env = dict(os.environ, BENCH_CONFIGS=cfg, BENCH_NO_FORK="1")
+                os.environ.get("BENCH_TIME_BUDGET", "1.0")) + surplus
+            env = dict(os.environ, BENCH_CONFIGS=cfg, BENCH_NO_FORK="1",
+                       BENCH_BUDGET_OVERRIDE=f"{budget:.1f}")
+            t_start = time.monotonic()
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
@@ -294,6 +310,7 @@ def main():
                 err = f"bench subprocess exited {rc}" if rc else None
             except subprocess.TimeoutExpired:
                 err = f"timeout after {budget:.0f}s"
+            surplus = max(0.0, budget - (time.monotonic() - t_start))
             if err:
                 print(json.dumps({
                     "metric": cfg, "value": None,

@@ -1,0 +1,87 @@
+"""bench.py orchestration tests (no renders — subprocess layer patched).
+
+The driver records BENCH_r{N}.json from ``python bench.py``; the round-2
+artifact was truncated (rc=124) because one config overran the budget.
+These tests pin the budget logic: every config gets a row, the parent
+exits 0, and configs that finish early donate their unspent budget to
+later configs (surplus rolling) without raising the worst-case total.
+"""
+
+import json
+import types
+
+import bench
+
+
+class _FakeCompleted:
+    returncode = 0
+
+
+def _run_main(monkeypatch, capsys, configs, child=None):
+    captured = []
+
+    def fake_run(cmd, env=None, timeout=None, **kw):
+        captured.append(dict(env=env, timeout=timeout))
+        if child is not None:
+            return child(env, timeout)
+        return _FakeCompleted()
+
+    monkeypatch.setattr(bench, "_tpu_available", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_ensure_assets", lambda: None)
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setenv("BENCH_CONFIGS", ",".join(configs))
+    monkeypatch.delenv("BENCH_NO_FORK", raising=False)
+    monkeypatch.delenv("BENCH_TIME_BUDGET", raising=False)
+    bench.main()
+    return captured, capsys.readouterr().out
+
+
+def test_surplus_rolls_to_later_configs(monkeypatch, capsys):
+    cfgs = ["cornell_256", "teapots_512", "sponza_1080p"]
+    captured, _ = _run_main(monkeypatch, capsys, cfgs)
+    # instant children: each later config's budget grows by the full
+    # unspent budget of everything before it
+    b = bench.BUDGETS
+    assert captured[0]["timeout"] <= b["cornell_256"] + 1e-6
+    assert captured[1]["timeout"] > b["teapots_512"]  # got cornell's surplus
+    assert captured[2]["timeout"] > b["sponza_1080p"] + b["teapots_512"]
+    # worst-case total is preserved: sum of granted budgets with instant
+    # children never exceeds... (granted_i <= own + all prior unspent)
+    assert captured[2]["timeout"] <= sum(b[c] for c in cfgs) + 1e-6
+    # the child is told its effective budget (formatted to 0.1 s)
+    for c in captured:
+        assert abs(float(c["env"]["BENCH_BUDGET_OVERRIDE"])
+                   - c["timeout"]) < 0.1
+
+
+def test_every_config_gets_a_row_on_timeout(monkeypatch, capsys):
+    # simulated clock: a timed-out child burns its whole budget, so it
+    # must donate NO surplus to the next config
+    clock = [0.0]
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock[0])
+
+    def child(env, timeout):
+        clock[0] += timeout
+        raise bench.subprocess.TimeoutExpired(cmd="x", timeout=timeout)
+
+    cfgs = ["cornell_256", "movie_720p"]
+    captured, out = _run_main(monkeypatch, capsys, cfgs, child=child)
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert [r["metric"] for r in rows] == cfgs
+    assert all(r["value"] is None and r["unit"] == "timeout" for r in rows)
+    # a config that burns its whole budget donates nothing
+    assert captured[1]["timeout"] <= bench.BUDGETS["movie_720p"] + 1.0
+
+
+def test_backend_down_emits_error_rows(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_tpu_available", lambda *a, **k: False)
+    monkeypatch.setattr(
+        bench, "_ensure_assets",
+        lambda: (_ for _ in ()).throw(AssertionError("must not run")),
+    )
+    monkeypatch.setenv("BENCH_CONFIGS", "cornell_256,sponza_1080p")
+    bench.main()
+    rows = [json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 2
+    assert all(r["unit"] == "error" for r in rows)
