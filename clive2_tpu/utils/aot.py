@@ -85,12 +85,26 @@ def _host_fingerprint() -> str:
     type can SIGILL (observed: this VM's machine type changed between
     sessions and the stale caches started segfaulting XLA).  TPU
     executables are covered by device_kind, but the key must rotate when
-    the HOST changes too."""
+    the HOST changes too.
+
+    The fingerprint must include family/model/stepping, not just the
+    flags line: XLA:CPU derives pseudo-features (prefer-no-gather /
+    prefer-no-scatter) from the CPU *model*, so two machine types with
+    identical cpuinfo flags still produce incompatible AOT objects
+    (observed 2026-08-19: cpu_aot_loader "+prefer-no-scatter ... doesn't
+    match" SIGILL warnings inside a flags-only namespace)."""
     try:
+        parts = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha256(line.encode()).hexdigest()[:12]
+                key = line.split(":", 1)[0].strip()
+                if key in ("flags", "cpu family", "model", "stepping",
+                           "model name"):
+                    parts.append(line.strip())
+                if len(parts) == 5:
+                    break
+        if parts:
+            return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform
