@@ -260,16 +260,99 @@ def _tpu_available(probe_timeout=150):
     backend is down, jax backend init hangs in the client's retry loop
     (it does NOT error), so an unguarded run would burn every config's
     full budget doing nothing.  A CPU-platform jax is fine (the bench
-    then measures host throughput honestly)."""
+    then measures host throughput honestly).
+
+    Returns the probed platform string ("axon"/"cpu"/...) or None when
+    the backend never came up — truthy iff the bench can run at all."""
     code = ("import jax; d = jax.devices(); "
             "print('PLATFORM', d[0].platform)")
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True,
                            timeout=probe_timeout)
-        return r.returncode == 0 and "PLATFORM" in r.stdout
+        if r.returncode == 0:
+            words = r.stdout.split()
+            if "PLATFORM" in words[:-1]:
+                return words[words.index("PLATFORM") + 1]
+        return None
     except subprocess.TimeoutExpired:
+        return None
+
+
+# pid files owned by the unattended TPU work queue (scripts/tpu_queue.sh,
+# scripts/tpu_supervisor.sh, scripts/tpu_session.sh) — OUR processes.
+_CHIP_OWNER_PIDFILES = (
+    "/tmp/tpu_supervisor.pid",   # first: it would restart a killed queue
+    "/tmp/tpu_chip_owner.pid",   # the running tpu_session.sh itself
+    "/tmp/tpu_queue.pid",
+)
+_CHIP_OWNER_CMDLINE_TOKENS = ("tpu_queue.sh", "tpu_supervisor.sh",
+                              "tpu_session.sh")
+
+
+def _takeover_chip(log=sys.stderr):
+    """Preempt the repo's own unattended TPU session before benching.
+
+    One process owns the chip at a time; the driver's end-of-round
+    ``python bench.py`` can land while scripts/tpu_session.sh (launched
+    by the outage-queue poller) is still mid-flight — sharing the chip
+    fails BOTH.  The bench is the round's deliverable, so it wins: kill
+    the session tree (specific pids from our own pid files, each
+    verified against /proc/<pid>/cmdline — never pattern-matched), then
+    deploy whatever tuning wins the interrupted session already
+    measured (tune_from_session is idempotent over the partial log) so
+    the bench runs the earned kernel defaults.
+
+    No-ops inside the session itself (CLIVE2_SESSION_OWNER) and on a
+    CPU-platform jax (the session never runs there; also keeps the
+    hermetic CPU test suite from touching live processes)."""
+    if os.environ.get("CLIVE2_SESSION_OWNER"):
         return False
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+        return False
+    import signal
+
+    my_pgid = os.getpgid(0)
+    killed = False
+    for pf in _CHIP_OWNER_PIDFILES:
+        try:
+            pid = int(open(pf).read().strip())
+        except (OSError, ValueError):
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmdline = f.read().decode("utf-8", "replace")
+        except OSError:
+            continue                     # pid not alive
+        if not any(tok in cmdline for tok in _CHIP_OWNER_CMDLINE_TOKENS):
+            continue                     # pid reused by something else
+        try:
+            pgid = os.getpgid(pid)
+        except OSError:
+            continue
+        try:
+            if pgid != my_pgid:
+                os.killpg(pgid, signal.SIGTERM)
+            else:
+                os.kill(pid, signal.SIGTERM)
+            killed = True
+            print(f"bench: preempted chip owner pid {pid} (pgid {pgid}) "
+                  f"from {pf}", file=log, flush=True)
+        except OSError:
+            pass
+    if killed:
+        time.sleep(10)                   # let the axon client release
+        here = os.path.dirname(os.path.abspath(__file__))
+        tuner = os.path.join(here, "scripts", "tune_from_session.py")
+        qlog = "/tmp/tpu_queue.log"
+        if os.path.exists(tuner) and os.path.exists(qlog):
+            try:
+                subprocess.run([sys.executable, tuner, qlog],
+                               timeout=60, cwd=here)
+            except Exception as e:
+                print(f"bench: tune_from_session after takeover failed: "
+                      f"{e}", file=log, flush=True)
+    return killed
 
 
 def main():
@@ -278,7 +361,8 @@ def main():
     if len(configs) > 1 or not os.environ.get("BENCH_NO_FORK"):
         # each config in its own subprocess: a TPU fault or overrun in one
         # config must not take down the remaining rows
-        if not _tpu_available():
+        platform = _tpu_available()
+        if not platform:
             for cfg in configs:
                 print(json.dumps({
                     "metric": cfg.strip(), "value": None, "unit": "error",
@@ -287,6 +371,10 @@ def main():
                              "(axon backend down)",
                 }), flush=True)
             return
+        if platform != "cpu":
+            # the unattended outage-queue session may still hold the chip;
+            # the bench record is the deliverable, so it preempts
+            _takeover_chip()
         _ensure_assets()
         # surplus rolling: configs that finish under budget donate their
         # unspent seconds to later (bigger) configs, so a cold Mosaic

@@ -14,6 +14,14 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-/tmp/tpu_session.log}
 export PYTHONPATH=/root/repo:/root/.axon_site
+# chip-ownership handshake with bench.py: the driver's end-of-round
+# `python bench.py` preempts a still-running session (one process owns
+# the chip at a time — see bench._takeover_chip).  The owner file names
+# this session's pid; CLIVE2_SESSION_OWNER stops the session's OWN
+# bench.py steps from preempting their parent.
+echo $$ > /tmp/tpu_chip_owner.pid
+trap 'rm -f /tmp/tpu_chip_owner.pid' EXIT
+export CLIVE2_SESSION_OWNER=1
 
 step() {
   local t=$1; shift

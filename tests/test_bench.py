@@ -26,7 +26,8 @@ def _run_main(monkeypatch, capsys, configs, child=None):
             return child(env, timeout)
         return _FakeCompleted()
 
-    monkeypatch.setattr(bench, "_tpu_available", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_tpu_available", lambda *a, **k: "axon")
+    monkeypatch.setattr(bench, "_takeover_chip", lambda *a, **k: False)
     monkeypatch.setattr(bench, "_ensure_assets", lambda: None)
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
     monkeypatch.setenv("BENCH_CONFIGS", ",".join(configs))
@@ -85,3 +86,45 @@ def test_backend_down_emits_error_rows(monkeypatch, capsys):
             for line in capsys.readouterr().out.strip().splitlines()]
     assert len(rows) == 2
     assert all(r["unit"] == "error" for r in rows)
+
+
+def test_takeover_called_only_on_device_platform(monkeypatch, capsys):
+    """The driver's end-of-round bench preempts the repo's own unattended
+    TPU session (they cannot share the chip) — but never on a
+    CPU-platform jax, where the session can't be holding a chip."""
+    calls = []
+    monkeypatch.setattr(bench, "_takeover_chip",
+                        lambda *a, **k: calls.append(1) or True)
+    monkeypatch.setattr(bench, "_ensure_assets", lambda: None)
+    monkeypatch.setattr(bench.subprocess, "run",
+                        lambda *a, **k: _FakeCompleted())
+    monkeypatch.setenv("BENCH_CONFIGS", "cornell_256,teapots_512")
+    monkeypatch.delenv("BENCH_NO_FORK", raising=False)
+
+    monkeypatch.setattr(bench, "_tpu_available", lambda *a, **k: "cpu")
+    bench.main()
+    assert calls == []
+
+    monkeypatch.setattr(bench, "_tpu_available", lambda *a, **k: "axon")
+    bench.main()
+    assert calls == [1]
+
+
+def test_takeover_refuses_unverified_pid(monkeypatch, tmp_path):
+    """Pid files can be stale and pids get reused: _takeover_chip must
+    only signal a pid whose /proc cmdline proves it is one of our queue
+    scripts.  Pointing it at THIS live process (a pytest, not a
+    tpu_*.sh) must be a no-op."""
+    import os
+
+    pf = tmp_path / "owner.pid"
+    pf.write_text(str(os.getpid()))
+    monkeypatch.setattr(bench, "_CHIP_OWNER_PIDFILES", (str(pf),))
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv("CLIVE2_SESSION_OWNER", raising=False)
+    assert bench._takeover_chip() is False   # alive pid, wrong cmdline
+
+
+def test_takeover_skips_inside_session(monkeypatch):
+    monkeypatch.setenv("CLIVE2_SESSION_OWNER", "1")
+    assert bench._takeover_chip() is False
