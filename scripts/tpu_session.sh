@@ -23,14 +23,10 @@ echo $$ > /tmp/tpu_chip_owner.pid
 trap 'rm -f /tmp/tpu_chip_owner.pid' EXIT
 export CLIVE2_SESSION_OWNER=1
 
-step() {
-  local t=$1; shift
-  # the CLIVE2_* env marker lets tune_from_session tell A/B bench
-  # sections apart (e.g. the wave-order raster run vs the default run)
-  echo "=== START [$(env | grep '^CLIVE2_' | sort | tr '\n' ' ')] $* ($(date))" >> "$LOG"
-  timeout "$t" "$@" >> "$LOG" 2>&1
-  echo "=== rc=$? $* ($(date))" >> "$LOG"
-}
+# step/probe_chip/abort_session: resumable steps + chip-flap early
+# abort (see the contract in tpu_steps.sh; tested by
+# tests/test_session_steps.py)
+. scripts/tpu_steps.sh
 
 # first contact: two fast production-default bench rows so even a brief
 # chip window (axon has flapped for multi-hour stretches) leaves fresh
@@ -117,7 +113,7 @@ step 900 python scripts/shade_ab.py
 step 900 python scripts/profile_stages.py teapots 512 3
 step 900 python scripts/profile_stages.py dragon 512 3
 
-step 2400 python bench.py
+STEP_TAG=pretune step 2400 python bench.py
 
 # turn measured wins into deployment-tuned defaults (utils/tuned.py) so
 # every later render — including the driver's own bench run — uses the
@@ -125,7 +121,7 @@ step 2400 python bench.py
 # under the new defaults so the flip's effect is in the same log
 step 120 python scripts/tune_from_session.py "$LOG"
 if grep -q "tune_from_session: wrote" "$LOG"; then
-  step 2400 python bench.py
+  STEP_TAG=posttune step 2400 python bench.py
 fi
 echo "=== SESSION DONE ($(date))" >> "$LOG"
 
