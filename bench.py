@@ -80,6 +80,45 @@ def _ensure_assets():
         )
 
 
+def _maybe_aot(jitted, example_args, salt):
+    """Compile through the apps' AOT executable cache (utils/aot.py).
+
+    The unattended hardware session's bench steps leave serialized
+    executables behind in output/.aot-cache, so the driver's
+    end-of-round run loads them in ~5 s instead of paying the
+    40 s - 6 min Mosaic compile inside each config's wall budget — the
+    difference between a real measurement row and a timeout row on the
+    big-scene configs.  The cache key already folds arg shapes, CLIVE2_*
+    knobs, the tuned-defaults file, package sources, and host/device
+    identity; ``salt`` carries the closure constants (width/height/
+    chunk geometry) that shape the program without appearing in the
+    argument signature.  Any failure falls back to plain jit.
+    BENCH_AOT_CACHE=0 disables; a path overrides the default dir."""
+    cache = os.environ.get(
+        "BENCH_AOT_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "output", ".aot-cache"))
+    if cache in ("0", ""):
+        return jitted
+    try:
+        import jax
+
+        if len(jax.devices()) != 1:
+            # a 1-device serialized executable doesn't execute under a
+            # multi-device client (observed: "expected 8 shards" under
+            # the test env's virtual CPU mesh); the bench always owns
+            # exactly one chip in production
+            return jitted
+        from clive2_tpu.utils.aot import cached_compile
+
+        exe, status = cached_compile(jitted, example_args, cache, salt=salt)
+        print(f"bench: aot {status} [{salt}]", file=sys.stderr, flush=True)
+        return exe
+    except Exception as e:                        # pragma: no cover
+        print(f"bench: aot fallback ({e})", file=sys.stderr, flush=True)
+        return jitted
+
+
 def bench_render(preset, width, height, samples, metric, baseline=None,
                  chunk_rows=None, max_stripes=None, deadline=None):
     """Render ``samples`` full frames (or, chunked, up to ``max_stripes``
@@ -107,6 +146,10 @@ def bench_render(preset, width, height, samples, metric, baseline=None,
         if max_stripes:
             row_starts = row_starts[:max_stripes]
 
+        stripe = _maybe_aot(
+            stripe, (key, jnp.uint32(0), jnp.int32(0), scene.data),
+            salt=f"bench_stripe:{width}x{height}:cr{chunk_rows}")
+
         def step(key, i, scene_data):
             outs = None
             for r in row_starts:
@@ -121,6 +164,9 @@ def bench_render(preset, width, height, samples, metric, baseline=None,
                 jax.random.fold_in(key, jnp.uint32(i)), scene_data,
                 width, height
             )
+
+        step = _maybe_aot(step, (key, 0, scene.data),
+                          salt=f"bench_render:{width}x{height}")
 
     out = step(key, 0, scene.data)               # compile + warmup
     jax.block_until_ready(out)
@@ -175,6 +221,9 @@ def bench_movie(preset="teapots", width=1280, height=720, frames=3, spp=2):
     def step(key, i, scene_data):
         return render_sample(jax.random.fold_in(key, i), scene_data,
                              width, height)
+
+    step = _maybe_aot(step, (key, jnp.uint32(0), scene.data),
+                      salt=f"bench_movie:{width}x{height}")
 
     def frame(f):
         sc = scene.with_camera(

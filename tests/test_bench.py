@@ -128,3 +128,40 @@ def test_takeover_refuses_unverified_pid(monkeypatch, tmp_path):
 def test_takeover_skips_inside_session(monkeypatch):
     monkeypatch.setenv("CLIVE2_SESSION_OWNER", "1")
     assert bench._takeover_chip() is False
+
+
+def test_maybe_aot_disabled_returns_jitted(monkeypatch):
+    monkeypatch.setenv("BENCH_AOT_CACHE", "0")
+    sentinel = object()
+    assert bench._maybe_aot(sentinel, (), salt="x") is sentinel
+
+
+def test_maybe_aot_compiles_then_loads(tmp_path):
+    """First run serializes the executable, a second process loads it —
+    the mechanism that lets the unattended session's benches warm the
+    driver's end-of-round run.  Runs in single-device subprocesses: the
+    suite's 8-virtual-device env doesn't match the serialized 1-device
+    executable (production bench always sees one chip)."""
+    import os
+    import subprocess
+    import sys
+
+    snippet = (
+        "import jax, jax.numpy as jnp, bench;"
+        "f = jax.jit(lambda x: x * 2.0);"
+        "g = bench._maybe_aot(f, (jnp.float32(3.0),), salt='test');"
+        "assert float(g(jnp.float32(3.0))) == 6.0"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="",
+               BENCH_AOT_CACHE=str(tmp_path),
+               PYTHONPATH=os.path.dirname(bench.__file__))
+    outs = []
+    for _ in range(2):
+        r = subprocess.run([sys.executable, "-c", snippet], env=env,
+                           capture_output=True, text=True, timeout=120,
+                           cwd=os.path.dirname(bench.__file__))
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stderr)
+    assert "aot compiled [test]" in outs[0]
+    assert "aot loaded [test]" in outs[1]
+    assert list(tmp_path.glob("*.pkl")), "executable not serialized"
