@@ -130,7 +130,12 @@ def _kernel(any_hit, nodebox, childs, leafblocks,
         # — min/max pairs with directed rounding, conservative slab test)
         off = node * 6 + (base >> 1)
         w0, w1, w2 = nodebox[off + 0], nodebox[off + 1], nodebox[off + 2]
-        bc = lambda w: jax.lax.bitcast_convert_type(w, jnp.float32)
+        # Mosaic's tpu.bitcast only accepts VECTOR operands (interpret
+        # mode accepts scalars — caught by the round-3 hardware gate):
+        # splat the packed SMEM word to one [1, LANES] lane row first;
+        # the slab arithmetic below broadcasts it across RAY_ROWS anyway.
+        bc = lambda w: jax.lax.bitcast_convert_type(
+            jnp.full((1, LANES), w, dtype=jnp.int32), jnp.float32)
         t0x = (bc(w0 << 16) - o_x) * invx
         t1x = (bc(w0 & jnp.int32(-65536)) - o_x) * invx
         t0y = (bc(w1 << 16) - o_y) * invy

@@ -185,7 +185,12 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
         min = bitcast(word << 16), max = bitcast(word & 0xffff0000)."""
         off = node * 6 + (base >> 1)
         w0, w1, w2 = nodebox[off + 0], nodebox[off + 1], nodebox[off + 2]
-        bc = lambda w: jax.lax.bitcast_convert_type(w, jnp.float32)
+        # Mosaic's tpu.bitcast only accepts VECTOR operands (interpret
+        # mode accepts scalars — caught by the round-3 hardware gate):
+        # splat the packed SMEM word to one [1, LANES] lane row first;
+        # the slab arithmetic below broadcasts it across RAY_ROWS anyway.
+        bc = lambda w: jax.lax.bitcast_convert_type(
+            jnp.full((1, LANES), w, dtype=jnp.int32), jnp.float32)
         return (bc(w0 << 16), bc(w1 << 16), bc(w2 << 16),
                 bc(w0 & jnp.int32(-65536)), bc(w1 & jnp.int32(-65536)),
                 bc(w2 & jnp.int32(-65536)))

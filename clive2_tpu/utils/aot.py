@@ -62,8 +62,15 @@ def _env_fingerprint() -> str:
     modules."""
     from .tuned import tuned_fingerprint
 
+    # CLIVE2_SESSION_OWNER is pure orchestration (chip-ownership handshake
+    # between tpu_session.sh and bench._takeover_chip) — it never reaches
+    # the traced program.  Folding it would give the unattended session's
+    # bench steps a different key than the driver's own bench run, so the
+    # session's warmed executables would never be hit where they matter.
+    _ORCHESTRATION = {"CLIVE2_SESSION_OWNER"}
     knobs = sorted(
-        (k, v) for k, v in os.environ.items() if k.startswith("CLIVE2_")
+        (k, v) for k, v in os.environ.items()
+        if k.startswith("CLIVE2_") and k not in _ORCHESTRATION
     )
     return repr(knobs) + tuned_fingerprint()
 
