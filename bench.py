@@ -276,8 +276,11 @@ def run_config(cfg: str):
         bench_render("empty", 256, 256, 16, "cornell_256x256",
                      deadline=deadline)
     elif cfg == "teapots_512":
+        # no vs_baseline: round 2's 22.66 was measured on the 2,500-tri
+        # procedural stand-in scene; round 3 renders the exact 6,320-tri
+        # Utah teapot (honest assets, VERDICT r2 #8) — incomparable
+        # denominators would read as a regression (BASELINE.md note)
         bench_render("teapots", 512, 512, 4, "teapots_ggx_512x512",
-                     baseline=22.66,              # round-2 measured
                      deadline=deadline)
     elif cfg == "dragon_512":
         bench_render("dragon", 512, 512, 4, "glass_dragon_47k_512x512",
