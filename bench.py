@@ -1,36 +1,48 @@
 """Benchmark: sustained BDPT throughput on one chip, per BASELINE config.
 
 Prints one JSON line per config: {"metric", "value", "unit", "vs_baseline",
-"spp_per_s", "resolution", "samples"}.  The FIRST line is the headline
-metric (1080p Cornell Mrays/s vs the driver-set 100 Mrays/s/chip north
-star); the remaining lines cover BASELINE.json's eval configs plus the
-mid-size scenes the round-2 review flagged as unbenchmarked:
+"spp_per_s", "resolution", "samples", "phases"}.  Config order:
 
+  canary_64      64x64 mesh scene (teapots preset), 2 spp — runs FIRST;
+                 if this can't finish inside its budget every later row
+                 is stamped {"canary": "failed"} so a systemic hang is
+                 diagnosed once instead of guessed at per row
+  headline       1080p Cornell Mrays/s vs the 100 Mrays/s/chip north star
   cornell_256    Cornell-box diffuse, 256x256, 16 spp (config #1)
   teapots_512    two exact Utah teapots, GGX glass, 512x512 (config #2)
   dragon_512     glass dragon (47.7k tris), 512x512 (config #3)
   medium_dragon  202k-tri glass dragon, 512x512
   big_dragon     871k-tri glass dragon, 512x512
   sponza_1080p   ~1.3M-triangle scene at 1080p (config #4)
-  movie_720p     per-frame orbit animation steady-state s/frame on the
-                 teapots scene (config #5 — real BVH + with_camera path)
+  movie_720p     per-frame orbit animation steady-state s/frame (config #5)
 
 Mrays/s counts every BVH traversal actually performed (subpath extension
 casts + BDPT visibility/projection casts).  The reference publishes no
 numbers (BASELINE.md).
 
+Self-diagnosis (round-3 lesson: seven budget timeouts with zero
+diagnostic content, VERDICT r3 Weak #1):
+  * each config's child process emits {"phase": ...} JSON marks at every
+    stage boundary (scene build / AOT / warmup / per-sample), so a
+    timeout row says WHERE the time went;
+  * a provisional row (marked "provisional": true) is emitted after the
+    first measured sample and refreshed at most every 15 s — a later
+    hang still leaves a number;
+  * the parent captures child output and, on timeout, recovers the last
+    provisional row as the config's result ("partial": true);
+  * the run ends with ONE summary line re-emitting every row, so tail
+    truncation cannot lose the early rows.
+  * NO per-sample scalar readbacks: a single device->host scalar fetch
+    costs ~59 ms over the axon tunnel (measured 2026-08-20, healthy
+    link) and was a multiplier in the round-3 hang; n_rays is read back
+    once after the timed loop.
+
 EVERY config emits a row and the script exits 0: each config runs in its
 own subprocess under a wall-clock budget; on timeout or fault the parent
-emits {"value": null, "unit": "timeout"|"error"} for that row.  (The
-round-2 artifact was truncated — rc=124 — because sponza overran the
-driver budget; budgets are the fix.)
+emits a diagnostic row.  Configs that finish early donate unspent budget
+to later configs ("surplus rolling").
 
-Configs that finish under their budget donate the unspent seconds to the
-configs after them ("surplus rolling"), so a cold Mosaic compile on the
-big-scene rows can use the time the small rows didn't need while the
-worst-case total stays sum(budgets).
-
-Env overrides: BENCH_CONFIGS (comma list of names above, or "headline"),
+Env overrides: BENCH_CONFIGS (comma list of names above),
 BENCH_WIDTH/BENCH_HEIGHT/BENCH_SAMPLES/BENCH_SCENE for the headline,
 BENCH_TIME_BUDGET (scale factor on the per-config budgets, default 1.0),
 BENCH_BUDGET_OVERRIDE (absolute seconds for a single config, set by the
@@ -51,6 +63,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # so a cold full run stays inside the driver's recording budget even if
 # every Mosaic compile is a cache miss.
 BUDGETS = {
+    "canary_64": 60,
     "headline": 200,
     "cornell_256": 90,
     "teapots_512": 150,
@@ -61,6 +74,8 @@ BUDGETS = {
     "movie_720p": 150,
 }
 DEFAULT_CONFIGS = ",".join(BUDGETS)
+
+PROVISIONAL_EVERY_S = 15.0
 
 
 def _ensure_assets():
@@ -80,20 +95,34 @@ def _ensure_assets():
         )
 
 
+class _Phases:
+    """Phase-boundary marks: JSON lines to stdout + accumulated durations
+    folded into the final row (VERDICT r3 next-round #1b)."""
+
+    def __init__(self, metric):
+        self.metric = metric
+        self.t0 = time.perf_counter()
+        self.last = self.t0
+        self.durations = {}
+
+    def mark(self, name):
+        now = time.perf_counter()
+        self.durations[name] = round(now - self.last, 2)
+        self.last = now
+        print(json.dumps({"metric": self.metric, "phase": name,
+                          "t": round(now - self.t0, 2)}), flush=True)
+
+
 def _maybe_aot(jitted, example_args, salt):
     """Compile through the apps' AOT executable cache (utils/aot.py).
 
-    The unattended hardware session's bench steps leave serialized
-    executables behind in output/.aot-cache, so the driver's
-    end-of-round run loads them in ~5 s instead of paying the
-    40 s - 6 min Mosaic compile inside each config's wall budget — the
-    difference between a real measurement row and a timeout row on the
-    big-scene configs.  The cache key already folds arg shapes, CLIVE2_*
-    knobs, the tuned-defaults file, package sources, and host/device
-    identity; ``salt`` carries the closure constants (width/height/
-    chunk geometry) that shape the program without appearing in the
-    argument signature.  Any failure falls back to plain jit.
-    BENCH_AOT_CACHE=0 disables; a path overrides the default dir."""
+    A warm cache entry loads in ~5 s where the Mosaic compile costs
+    40 s - 6 min — the difference between a measurement row and a
+    timeout row on the big-scene configs.  The cache key folds arg
+    shapes, CLIVE2_* knobs, the tuned-defaults file, package sources,
+    and host/device identity; ``salt`` carries closure constants
+    (width/height/chunk geometry).  Any failure falls back to plain
+    jit.  BENCH_AOT_CACHE=0 disables; a path overrides the default."""
     cache = os.environ.get(
         "BENCH_AOT_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -131,8 +160,10 @@ def bench_render(preset, width, height, samples, metric, baseline=None,
     import clive2_tpu as c2
     from clive2_tpu.integrator.render import render_sample
 
+    ph = _Phases(metric)
     scene = c2.create_scene_from_preset(preset, pixel_width=width,
                                         pixel_height=height)
+    ph.mark("scene_build")
     key = jax.random.key(0)
 
     if chunk_rows:
@@ -149,6 +180,7 @@ def bench_render(preset, width, height, samples, metric, baseline=None,
         stripe = _maybe_aot(
             stripe, (key, jnp.uint32(0), jnp.int32(0), scene.data),
             salt=f"bench_stripe:{width}x{height}:cr{chunk_rows}")
+        ph.mark("aot")
 
         def step(key, i, scene_data):
             outs = None
@@ -167,36 +199,73 @@ def bench_render(preset, width, height, samples, metric, baseline=None,
 
         step = _maybe_aot(step, (key, 0, scene.data),
                           salt=f"bench_render:{width}x{height}")
+        ph.mark("aot")
 
     out = step(key, 0, scene.data)               # compile + warmup
     jax.block_until_ready(out)
+    # rays/sample for provisional estimates — the ONE pre-loop scalar
+    # readback (a d2h scalar fetch costs ~59 ms on the tunnel; per-sample
+    # readbacks were a round-3 hang multiplier)
+    rays_per_sample = int(out["n_rays"])
+    ph.mark("warmup")
 
-    t0 = time.perf_counter()
-    total_rays = 0
-    done = 0
-    for i in range(1, samples + 1):
-        out = step(key, i, scene.data)
-        jax.block_until_ready(out)
-        total_rays += int(out["n_rays"])
-        done += 1
-        if deadline is not None and time.monotonic() > deadline:
-            break
-    dt = time.perf_counter() - t0
-
-    mrays = total_rays / dt / 1e6
     frac = (len(row_starts) * chunk_rows / height) if chunk_rows else 1.0
-    rec = {
-        "metric": metric,
-        "value": round(mrays, 2),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / baseline, 3) if baseline else None,
-        "spp_per_s": round(done * frac / dt, 3),
-        "resolution": f"{width}x{height}",
-        "samples": done,
-    }
-    if frac < 1.0:
-        rec["frame_fraction"] = round(frac, 4)
-    print(json.dumps(rec), flush=True)
+
+    def row(mrays, done, dt, provisional=False):
+        rec = {
+            "metric": metric,
+            "value": round(mrays, 2),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / baseline, 3) if baseline else None,
+            "spp_per_s": round(done * frac / dt, 3) if dt > 0 else None,
+            "resolution": f"{width}x{height}",
+            "samples": done,
+        }
+        if frac < 1.0:
+            rec["frame_fraction"] = round(frac, 4)
+        if provisional:
+            rec["provisional"] = True
+        else:
+            rec["phases"] = ph.durations
+        return rec
+
+    # measured loop: flight-of-2 pipeline (overlaps ~25 ms dispatch RTT
+    # with compute), no per-sample readbacks, deadline checked on each
+    # completion, provisional row after the first sample then every 15 s
+    t0 = time.perf_counter()
+    nrays_dev = []
+    done = 0
+    prev = None
+    last_prov = 0.0
+
+    def complete(o):
+        nonlocal done, last_prov
+        jax.block_until_ready(o)
+        done += 1
+        el = time.perf_counter() - t0
+        if done == 1 or el - last_prov > PROVISIONAL_EVERY_S:
+            last_prov = el
+            print(json.dumps(row(rays_per_sample * done / el / 1e6, done,
+                                 el, provisional=True)), flush=True)
+
+    for i in range(1, samples + 1):
+        o = step(key, i, scene.data)
+        nrays_dev.append(o["n_rays"])
+        if prev is not None:
+            complete(prev)
+            if deadline is not None and time.monotonic() > deadline:
+                prev = o
+                break
+        prev = o
+    if prev is not None:
+        complete(prev)
+    dt = time.perf_counter() - t0
+    ph.mark("measure")
+
+    total_rays = sum(int(x) for x in
+                     jax.device_get(nrays_dev[:done]))    # one transfer
+    ph.mark("readback")
+    print(json.dumps(row(total_rays / dt / 1e6, done, dt)), flush=True)
 
 
 def bench_movie(preset="teapots", width=1280, height=720, frames=3, spp=2):
@@ -211,10 +280,13 @@ def bench_movie(preset="teapots", width=1280, height=720, frames=3, spp=2):
     from clive2_tpu.integrator.render import render_sample
     from clive2_tpu.scene import orbit_camera
 
+    metric = f"movie_s_per_frame_{preset}_{width}x{height}_{spp}spp"
+    ph = _Phases(metric)
     scene = c2.create_scene_from_preset_with_params(
         preset, pixel_width=width, pixel_height=height,
         frame_idx=0, total_frames=120,
     )
+    ph.mark("scene_build")
     key = jax.random.key(0)
 
     @jax.jit
@@ -224,6 +296,7 @@ def bench_movie(preset="teapots", width=1280, height=720, frames=3, spp=2):
 
     step = _maybe_aot(step, (key, jnp.uint32(0), scene.data),
                       salt=f"bench_movie:{width}x{height}")
+    ph.mark("aot")
 
     def frame(f):
         sc = scene.with_camera(
@@ -235,19 +308,22 @@ def bench_movie(preset="teapots", width=1280, height=720, frames=3, spp=2):
         jax.block_until_ready(out)
 
     frame(0)                                     # compile + warmup
+    ph.mark("warmup")
     t0 = time.perf_counter()
     for f in range(1, frames + 1):
         frame(f)
     dt = (time.perf_counter() - t0) / frames
+    ph.mark("measure")
 
     rec = {
-        "metric": f"movie_s_per_frame_{preset}_{width}x{height}_{spp}spp",
+        "metric": metric,
         "value": round(dt, 3),
         "unit": "s/frame",
         "vs_baseline": None,
         "spp_per_s": round(spp / dt, 3),
         "resolution": f"{width}x{height}",
         "samples": spp,
+        "phases": ph.durations,
     }
     print(json.dumps(rec), flush=True)
 
@@ -263,7 +339,12 @@ def run_config(cfg: str):
             os.environ.get("BENCH_TIME_BUDGET", "1.0")))
     deadline = time.monotonic() + budget * 0.92   # leave margin to report
 
-    if cfg == "headline":
+    if cfg == "canary_64":
+        # smallest real-mesh render: if THIS can't do 2 spp inside a
+        # minute, every later mesh row inherits the diagnosis
+        bench_render("teapots", 64, 64, 2, "canary_teapots_64x64",
+                     deadline=deadline)
+    elif cfg == "headline":
         width = int(os.environ.get("BENCH_WIDTH", 1920))
         height = int(os.environ.get("BENCH_HEIGHT", 1080))
         samples = int(os.environ.get("BENCH_SAMPLES", 8))
@@ -407,6 +488,29 @@ def _takeover_chip(log=sys.stderr):
     return killed
 
 
+def _parse_child_rows(text, cfg):
+    """Extract (last_full_row, last_provisional_row, last_phase) from a
+    child's captured stdout and echo every line through."""
+    last_full = last_prov = None
+    last_phase = None
+    for line in (text or "").splitlines():
+        print(line, flush=True)
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if "phase" in rec:
+            last_phase = {"phase": rec.get("phase"), "t": rec.get("t")}
+        elif rec.get("provisional"):
+            last_prov = rec
+        elif "value" in rec:
+            last_full = rec
+    return last_full, last_prov, last_phase
+
+
 def main():
     configs = os.environ.get("BENCH_CONFIGS", DEFAULT_CONFIGS).split(",")
 
@@ -434,6 +538,8 @@ def main():
         # the worst-case TOTAL stays sum(budgets), which is what the
         # driver's recording budget was sized against
         surplus = 0.0
+        summary = []
+        canary_failed = False
         for cfg in configs:
             cfg = cfg.strip()
             budget = BUDGETS.get(cfg, 180) * float(
@@ -441,22 +547,59 @@ def main():
             env = dict(os.environ, BENCH_CONFIGS=cfg, BENCH_NO_FORK="1",
                        BENCH_BUDGET_OVERRIDE=f"{budget:.1f}")
             t_start = time.monotonic()
+            out_text, err = "", None
             try:
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
-                    env=env, timeout=budget,
+                    env=env, timeout=budget, capture_output=True, text=True,
                 )
+                out_text = r.stdout
+                sys.stderr.write(r.stderr or "")
                 rc = r.returncode
                 err = f"bench subprocess exited {rc}" if rc else None
-            except subprocess.TimeoutExpired:
+            except subprocess.TimeoutExpired as e:
+                out_text = e.stdout
+                if isinstance(out_text, bytes):
+                    out_text = out_text.decode("utf-8", "replace")
+                se = e.stderr
+                if isinstance(se, bytes):
+                    se = se.decode("utf-8", "replace")
+                sys.stderr.write(se or "")
                 err = f"timeout after {budget:.0f}s"
             surplus = max(0.0, budget - (time.monotonic() - t_start))
-            if err:
-                print(json.dumps({
+            full, prov, phase = _parse_child_rows(out_text, cfg)
+            if err and full is None:
+                # recover the last provisional row (partial measurement
+                # beats a bare timeout) and attribute the stall
+                rec = dict(prov) if prov else {
                     "metric": cfg, "value": None,
-                    "unit": "timeout" if "timeout" in err else "error",
-                    "vs_baseline": None, "error": err,
-                }), flush=True)
+                    "vs_baseline": None,
+                }
+                rec["unit"] = ("timeout" if "timeout" in err
+                               else rec.get("unit", "error"))
+                rec["partial"] = True
+                rec["error"] = err
+                if phase:
+                    rec["last_phase"] = phase
+                if canary_failed:
+                    rec["canary"] = "failed"
+                print(json.dumps(rec), flush=True)
+                summary.append(rec)
+                if cfg == "canary_64":
+                    canary_failed = True
+            else:
+                summary.append(full if full is not None else
+                               {"metric": cfg, "value": None,
+                                "unit": "no-row"})
+        # one final line re-emitting every row: tail truncation of the
+        # driver artifact can no longer lose the early rows (round 3
+        # lost its headline row exactly this way)
+        print(json.dumps({"metric": "bench_summary", "rows": [
+            {k: r.get(k) for k in ("metric", "value", "unit",
+                                   "vs_baseline", "spp_per_s", "samples",
+                                   "partial", "error")
+             if r.get(k) is not None}
+            for r in summary]}), flush=True)
         return
 
     cfg = configs[0].strip()
