@@ -22,10 +22,20 @@ against the direct formulas):
     v_n = r . [-(v0 x e1), -e1, 0, 0]
     t_n = r . [0, 0, n, -v0.n]            u, v, t = (u_n, v_n, t_n) / a
 
-so one [128 rays, K] @ [K, 5*cols] MXU matmul per ray chunk per fat-leaf
-block performs 16,384+ ray-triangle tests' worth of cross/dot products,
-followed by a dozen fully-pipelined elementwise [128, 128] ops.  The
-operands carry a bf16x6 residual split stacked along K=64 (6 sections of
+so one transposed-lhs MXU matmul per ray chunk per fat-leaf block —
+dot_general([K, 5*cols], [K, 128 rays], contracting dim 0 with dim 0)
+-> [5*cols, 128] — performs 16,384+ ray-triangle tests' worth of
+cross/dot products, followed by a dozen fully-pipelined elementwise
+[128, 128] ops.  Both operands are K-MAJOR: the fat-leaf blocks are
+stored [n_fat, K, 5*cols] so the per-leaf HBM DMA slice is
+[K=64 sublanes, 5*128 lanes] — lane-dim 128-aligned, which Mosaic
+REQUIRES (the round-3 tri-major [5*cols, K=64] layout put K in lanes
+and died at hardware compile with "Slice shape along dimension 2 must
+be aligned to tiling (128)"; 2026-08-20 probes: the transposed DMA and
+the transposed-lhs dot both compile, scripts/probe_mosaic_layouts.py).
+K-major also halves the ring slot's physical VMEM (a [*, 64]-lane
+array is padded to 128 lanes; [64, 640] pads nothing).  The operands
+carry a bf16x6 residual split stacked along K=64 (6 sections of
 the 10 live feature columns + 4 zero pad; one padded MXU pass, ~f32
 accuracy — see build_rayfeat for why plain bf16x3 let near-parallel
 foreign triangles steal wins).  Best-hit state lives per
@@ -82,14 +92,6 @@ STREAM_PREC = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("CLIVE2_STREAM_PREC", "default")]
-# 1 = copy the ring slot into a dedicated 2D scratch before the drain
-# matmul (A/B isolating a Mosaic miscompile of tpu.matmul on a
-# dynamically-indexed 3D scratch operand)
-STREAM_STAGE = int(os.environ.get("CLIVE2_STREAM_STAGE", "0"))
-# "outer" computes the drain product as a VPU outer-product sum over the
-# K rows (mathematically identical to the dot, no MXU) — the bisection
-# lever that separates a tpu.matmul lowering fault from everything else
-STREAM_MM = os.environ.get("CLIVE2_STREAM_MM", "dot")
 # occlusion-driven culling (default on): each drained chunk refreshes a
 # best-t PLANE (one sublane min-reduce + [1,128] row store), and the node
 # phase's slab tests close intervals beyond each ray's current best —
@@ -133,17 +135,13 @@ def _make_kernel(n_fat_cols: int, any_hit: bool = False, agg: int = 1):
     """``agg`` = ring slots drained per MXU pass (1, 2 or 4 — see
     drain_multi)."""
     assert agg in (1, 2, 4)
-    if agg > 1 and (STREAM_MM != "dot" or STREAM_STAGE):
-        raise ValueError(
-            "CLIVE2_STREAM_AGG requires the default drain "
-            "(CLIVE2_STREAM_MM=dot, CLIVE2_STREAM_STAGE=0)")
     return functools.partial(_kernel, n_fat_cols, any_hit, agg)
 
 
 def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             ox, oy, oz, dx, dy, dz, tm,
             out_t, out_code,
-            stack, qmask, acc_t, acc_c, blocks, staged, btcur, sem):
+            stack, qmask, acc_t, acc_c, blocks, btcur, sem):
     """cols = triangles per fat leaf (128 * blocks_per_leaf).
 
     Orientation: RAYS LIVE IN LANES THROUGHOUT.  The drain matmul is
@@ -295,11 +293,7 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
         ).wait()
         if STREAM_DIAG == "nodrain":
             return
-        if STREAM_STAGE:
-            staged[:, :] = blocks[slot]
-            feat = staged[:, :]                            # [5*cols, KDIM]
-        else:
-            feat = blocks[slot]                            # [5*cols, KDIM]
+        feat = blocks[slot]                                # [KDIM, 5*cols]
 
         def drain_chunk(c, _):
             live = (qmask[slot, c >> 4] >> (c & 15)) & 1
@@ -315,29 +309,22 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
 
         def _drain_one(c, feat):
             rf = rayfeat[:, pl.ds(c * LANES, LANES)]       # [KDIM, 128]
-            # ONE matmul per chunk covers all five output groups (the
-            # block's 5*cols rows are contiguous), amortizing the MXU's
-            # fixed per-dot latency.  Precision comes from the operand
-            # layout, not the pass count: both sides carry the bf16x6
-            # residual split stacked along K (see STREAM_PREC note at
-            # the top).  Group 4 carries the fat-BLOCK id (exact — its
-            # ray-side factor is the constant 1.0); the global slot is
+            # ONE transposed-lhs matmul per chunk covers all five output
+            # groups (the block's 5*cols columns are contiguous),
+            # amortizing the MXU's fixed per-dot latency: contracting
+            # feat dim 0 with rf dim 0 keeps BOTH operands K-major (the
+            # DMA-aligned layout) with the transpose folded into the
+            # MXU pass.  Precision comes from the operand layout, not
+            # the pass count: both sides carry the bf16x6 residual
+            # split stacked along K (see STREAM_PREC note at the top).
+            # Group 4 carries the fat-BLOCK id (exact — its ray-side
+            # factor is the constant 1.0); the global slot is
             # reconstructed in the fold, and the winner's t/u/v are
             # re-derived exactly by the XLA wrapper.
-            if STREAM_MM == "outer":
-                # VPU outer-product sum: identical math, no tpu.matmul.
-                # Only the 60 live K-columns contribute (the 4 pad
-                # columns are zero on both sides).
-                acc = jnp.zeros((GROUPS * cols, LANES), jnp.float32)
-                for k in range(6 * LIVE):
-                    acc = acc + (
-                        feat[:, k:k + 1].astype(jnp.float32)
-                        * rf[k:k + 1, :].astype(jnp.float32)
-                    )
-                prod = acc
-            else:
-                prod = jnp.dot(feat, rf, preferred_element_type=jnp.float32,
-                               precision=STREAM_PREC)
+            prod = jax.lax.dot_general(
+                feat, rf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=STREAM_PREC)                     # [5*cols, 128]
             new_t, new_c = _merge_hits(prod, 0, acc_t[c], acc_c[c])
             acc_t[c] = new_t
             acc_c[c] = new_c
@@ -373,12 +360,14 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
         if STREAM_DIAG == "nodrain":
             return
         feat = jnp.concatenate(
-            [blocks[s] for s in slots], axis=0)            # [n*5*cols, KDIM]
+            [blocks[s] for s in slots], axis=1)            # [KDIM, n*5*cols]
 
         def _drain_group(c, feat):
             rf = rayfeat[:, pl.ds(c * LANES, LANES)]       # [KDIM, 128]
-            prod = jnp.dot(feat, rf, preferred_element_type=jnp.float32,
-                           precision=STREAM_PREC)
+            prod = jax.lax.dot_general(
+                feat, rf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=STREAM_PREC)                     # [n*5*cols, 128]
             t_c, c_c = acc_t[c], acc_c[c]
             for k in range(n):
                 t_c, c_c = _merge_hits(prod, k * GROUPS * cols, t_c, c_c)
@@ -587,8 +576,7 @@ def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, planes,
             pltpu.SMEM((NBUF, NMASKW + 2), jnp.int32),     # bits + lo/hi
             pltpu.VMEM((NCHUNK, cols, LANES), jnp.float32),
             pltpu.VMEM((NCHUNK, cols, LANES), jnp.float32),
-            pltpu.VMEM((NBUF, GROUPS * cols, KDIM), jnp.bfloat16),
-            pltpu.VMEM((GROUPS * cols, KDIM), jnp.bfloat16),
+            pltpu.VMEM((NBUF, KDIM, GROUPS * cols), jnp.bfloat16),
             pltpu.VMEM((RAY_ROWS, LANES), jnp.float32),    # occlusion plane
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
@@ -706,7 +694,7 @@ def intersect_stream2(origin, direction, packed, active=None, sort=False,
         build_rayfeat(origin, direction, packed["ctr"])
     )
 
-    cols = packed["leafblocks"].shape[1] // GROUPS
+    cols = packed["leafblocks"].shape[2] // GROUPS
 
     def run(rf, pls, blocks_count):
         return _traverse_blocks(
@@ -764,9 +752,10 @@ def intersect_stream2(origin, direction, packed, active=None, sort=False,
 def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
     """FlatBVH -> MXU streaming layout: SMEM top tree (identical to
     pack_stream) + HBM bilinear-feature fat-leaf blocks
-    [n_fat, GROUPS*cols, KDIM] bf16 (tri-major, bf16x6 K split) +
-    slot->triangle table + global triangle arrays for the XLA u,v
-    recovery."""
+    [n_fat, KDIM, GROUPS*cols] bf16 (K-MAJOR, bf16x6 K split — K in
+    sublanes keeps the per-leaf DMA slice lane-aligned and the VMEM ring
+    unpadded, see module docstring) + slot->triangle table + global
+    triangle arrays for the XLA u,v recovery."""
     from ..bvh.build import leaf_tables
 
     if bvh.max_leaf_size > SUB_SLOTS:
@@ -874,23 +863,27 @@ def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
         np.arange(n_fat, dtype=np.float32)[:, None], (n_fat, cols))
     blocks[:, 9, 4 * cols:5 * cols] = np.where(filled, fat_idv, -1.0)
 
-    # transpose to tri-major [n_fat, G*cols, LIVE] (the drain matmul LHS
-    # wants triangles in sublanes, K in lanes), then the bf16x6 residual
-    # split stacked along K: [B1|B1|B1|B2|B2|B3] pairs with the ray side's
-    # [r1|r2|r3|r1|r2|r1] so ONE MXU pass on native-bf16 operands computes
+    # K-MAJOR [n_fat, KDIM, G*cols]: K lives in SUBLANES (the FEAT-row
+    # axis the features were built on — no transpose needed), triangles
+    # in LANES, so the per-leaf DMA slice is [64, 5*128] — lane-dim
+    # 128-aligned as Mosaic requires (the tri-major layout with K=64 in
+    # lanes failed hardware compile, see module docstring) and pad-free
+    # in VMEM.  The bf16x6 residual split stacks along K:
+    # [B1;B1;B1;B2;B2;B3] pairs with the ray side's [r1|r2|r3|r1|r2|r1]
+    # so ONE transposed-lhs MXU pass on native-bf16 operands computes
     # the six dominant cross products (~f32 accuracy — see build_rayfeat
-    # for why bf16x3 was insufficient).  Only the LIVE=10 feature columns
-    # are stored (60 + 4 zero pad = KDIM bf16 K-columns = 2x the v1
+    # for why bf16x3 was insufficient).  Only the LIVE=10 feature rows
+    # are stored (60 + 4 zero pad = KDIM bf16 K-rows = 2x the v1
     # kernel's 16-f32-row bytes per triangle slot; the dead 6 columns per
     # section were another 50% on top of that — pure DMA waste).
     import ml_dtypes
-    blocks = np.transpose(blocks, (0, 2, 1))[:, :, :LIVE]  # [nf, G*c, 10]
+    blocks = blocks[:, :LIVE, :]                           # [nf, 10, G*c]
     b1 = blocks.astype(ml_dtypes.bfloat16)
     rem = blocks - b1.astype(np.float32)
     b2 = rem.astype(ml_dtypes.bfloat16)
     b3 = (rem - b2.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    blocks = np.concatenate([b1, b1, b1, b2, b2, b3], axis=2)  # [nf, G*c, 60]
-    blocks = np.pad(blocks, ((0, 0), (0, 0), (0, KDIM - 6 * LIVE)))
+    blocks = np.concatenate([b1, b1, b1, b2, b2, b3], axis=1)  # [nf, 60, G*c]
+    blocks = np.pad(blocks, ((0, 0), (0, KDIM - 6 * LIVE), (0, 0)))
 
     # global triangle arrays for exact u,v recovery (original coords)
     t_count = int(soup.vertices.shape[0])

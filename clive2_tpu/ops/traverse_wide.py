@@ -301,8 +301,12 @@ def _kernel(any_hit, group_gate, compact, pop2, bits,
             bestnear = jnp.min(near_i, axis=0, keepdims=True)  # [1, 1]
             is_best = inner_hit & (near_i <= jnp.broadcast_to(
                 bestnear, near_i.shape))
+            # int iota then convert: Mosaic's tpu.iota only produces
+            # integer vectors (a float iota passes interpret mode but
+            # fails hardware verification — same class as the round-3
+            # scalar-bitcast catch)
             pw = jnp.exp2(jax.lax.broadcasted_iota(
-                jnp.float32, (WIDE, 1), 0))                    # 2^c exact
+                jnp.int32, (WIDE, 1), 0).astype(jnp.float32))  # 2^c exact
             cmb = jnp.sum(jnp.where(hit_v, pw, 0.0)
                           + jnp.where(is_best, pw * 256.0, 0.0))
             ci = cmb.astype(jnp.int32)                         # < 2^16
@@ -386,7 +390,7 @@ def _kernel(any_hit, group_gate, compact, pop2, bits,
                 # per leaf-phase node, replacing a vector-reduce window
                 # per gated MT call
                 pw2 = jnp.exp2(jax.lax.broadcasted_iota(
-                    jnp.float32, (WIDE, 1), 0))
+                    jnp.int32, (WIDE, 1), 0).astype(jnp.float32))
                 gm = [jnp.any(masks[g], axis=1, keepdims=True)
                       for g in range(SUBLANES)]            # [8, 1] each
                 words = []

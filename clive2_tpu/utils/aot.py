@@ -14,8 +14,11 @@ the example arguments (which encodes the scene pytree structure — e.g.
 which traversal path the scene selected), a caller salt for function
 identity, every CLIVE2_* environment knob (several change the traced
 program's semantics — estimator selection, any-hit policy, sort policy,
-packet geometry — without changing any argument shape), and a fingerprint
-of the package sources (code edits must not keep serving old binaries).
+packet geometry — without changing any argument shape) EXCEPT the
+``_ORCHESTRATION`` exclusion list in ``_env_fingerprint`` (vars there
+must never reach a traced program — they exist so the unattended
+session's warm keys match the driver's), and a fingerprint of the
+package sources (code edits must not keep serving old binaries).
 Any miss or failure falls back to a normal compile, and serialization
 failures are non-fatal (the compiled executable is used directly).
 """

@@ -41,6 +41,8 @@ from clive2_tpu.integrator import trace as T
 from clive2_tpu.integrator.connect import connect_paths
 from clive2_tpu.integrator.render import render_sample
 
+pytestmark = pytest.mark.slow  # 96-256 spp oracle (default gate skips; -m slow)
+
 W = H = 64
 SPP = 256
 BLK = 8

@@ -29,6 +29,8 @@ from clive2_tpu.integrator.connect import connect_paths
 from clive2_tpu.models import icosphere
 from clive2_tpu.scene import create_scene
 
+pytestmark = pytest.mark.slow  # 96-256 spp oracle (default gate skips; -m slow)
+
 W = H = 48
 SPP = 256
 BLK = 8

@@ -28,6 +28,8 @@ from clive2_tpu.integrator import trace as T
 from clive2_tpu.materials import MaterialTable
 from clive2_tpu.scene import create_scene
 
+pytestmark = pytest.mark.slow  # 96-256 spp oracle (default gate skips; -m slow)
+
 RHO = 0.7
 W = H = 32
 SPP = 96

@@ -807,7 +807,11 @@ class TestStream2Precision:
         ).astype(np.float64)                               # [KDIM, n]
 
         LIVE, G = tstream2.LIVE, tstream2.GROUPS
-        bq = np.asarray(packed["leafblocks"]).astype(np.float64)
+        # pack_stream2 stores K-MAJOR [nf, K, G*cols] (DMA-aligned, see
+        # traverse_stream2 module docstring); the emulation below works
+        # tri-major, so restore [nf, G*cols, K]
+        bq = np.asarray(packed["leafblocks"]).astype(
+            np.float64).transpose(0, 2, 1)
 
         # reference: dequantized features, single f64 contraction.  The
         # bf16x6 split sections sum back to ~exact f32 on both sides.
@@ -841,3 +845,63 @@ class TestStream2Precision:
         assert rate_x3 > 10 * max(rate_x6, 5e-5), (
             f"power check: crippled-x3 rate {rate_x3*100:.3f}% is not "
             f"separable from x6 {rate_x6*100:.3f}% — test lost its teeth")
+
+
+def test_no_scalar_bitcast_in_ops_sources():
+    """Lint gate for the round-3 Mosaic miscompile class (ADVICE r3).
+
+    Mosaic's tpu.bitcast only accepts VECTOR operands; interpret mode
+    happily accepts scalars, so a scalar `bitcast_convert_type` on an
+    SMEM word passes the whole CPU suite and then fails Mosaic
+    verification on real hardware (commit 4d37115 fixed two of these).
+    Pin the fixed form: every bitcast_convert_type in the ops modules
+    must take a rank>=1 operand, i.e. appear with a `jnp.full((1,`
+    lane-row splat in its argument text.
+    """
+    import glob
+    import os
+    import re
+
+    ops_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "clive2_tpu", "ops")
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(ops_dir, "*.py"))):
+        src = open(path).read()
+        for m in re.finditer(r"bitcast_convert_type\(", src):
+            # argument text (whitespace-normalized) after the open-paren
+            norm = re.sub(r"\s+", "", src[m.end():m.end() + 200])
+            if "jnp.full((1," not in norm:
+                offenders.append(
+                    f"{os.path.basename(path)}:"
+                    f"{src[:m.start()].count(chr(10)) + 1}")
+    assert not offenders, (
+        "scalar-looking bitcast_convert_type operand(s) in ops modules "
+        f"(Mosaic requires vectors; splat to [1, LANES] first): "
+        f"{offenders}")
+
+
+def test_no_float_iota_in_ops_sources():
+    """Companion lint to the scalar-bitcast gate: Mosaic's tpu.iota only
+    produces INTEGER vectors; `broadcasted_iota(jnp.float32, ...)` passes
+    interpret mode and fails hardware verification ("'tpu.iota' op
+    result #0 must be vector of integer or index values" — caught on the
+    2026-08-20 wide_bits hardware run).  Float ramps must be built as an
+    int iota + astype."""
+    import glob
+    import os
+    import re
+
+    ops_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "clive2_tpu", "ops")
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(ops_dir, "*.py"))):
+        src = open(path).read()
+        for m in re.finditer(r"broadcasted_iota\(", src):
+            norm = re.sub(r"\s+", "", src[m.end():m.end() + 80])
+            if re.match(r"^jnp\.float|^jnp\.bfloat|^float", norm):
+                offenders.append(
+                    f"{os.path.basename(path)}:"
+                    f"{src[:m.start()].count(chr(10)) + 1}")
+    assert not offenders, (
+        f"float-dtype broadcasted_iota in ops modules (Mosaic tpu.iota "
+        f"is integer-only; use int iota + astype): {offenders}")
