@@ -92,6 +92,21 @@ STREAM_PREC = {
     "default": jax.lax.Precision.DEFAULT,
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("CLIVE2_STREAM_PREC", "default")]
+# Diagnostic bisection knobs (all default off; compile-time only).
+# They were built hunting the 2026-08-20 hardware mismatch and each
+# EXONERATED its suspect — the real fault was OUTSIDE the kernel
+# (XLA's excess-precision elision of build_rayfeat's residual split,
+# see build_rayfeat).  Kept because they bisect a streaming kernel
+# into its three risk layers in one session:
+#   STAGE     copy the ring slot to a 2D scratch before the matmul
+#             (isolates dynamically-indexed 3D operand lowering)
+#   FULLDRAIN ignore chunk masks/spans, drain everything
+#             (isolates write_masks / span logic)
+#   SYNCDMA   wait each DMA at enqueue, no drain wait
+#             (isolates async-DMA / semaphore interactions)
+STREAM_STAGE = int(os.environ.get("CLIVE2_STREAM_STAGE", "0"))
+STREAM_FULLDRAIN = int(os.environ.get("CLIVE2_STREAM_FULLDRAIN", "0"))
+STREAM_SYNCDMA = int(os.environ.get("CLIVE2_STREAM_SYNCDMA", "0"))
 # occlusion-driven culling (default on): each drained chunk refreshes a
 # best-t PLANE (one sublane min-reduce + [1,128] row store), and the node
 # phase's slab tests close intervals beyond each ray's current best —
@@ -141,7 +156,7 @@ def _make_kernel(n_fat_cols: int, any_hit: bool = False, agg: int = 1):
 def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             ox, oy, oz, dx, dy, dz, tm,
             out_t, out_code,
-            stack, qmask, acc_t, acc_c, blocks, btcur, sem):
+            stack, qmask, acc_t, acc_c, blocks, staged, btcur, sem):
     """cols = triangles per fat leaf (128 * blocks_per_leaf).
 
     Orientation: RAYS LIVE IN LANES THROUGHOUT.  The drain matmul is
@@ -288,15 +303,22 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
 
     def drain(qhead):
         slot = qhead & (NBUF - 1)
-        pltpu.make_async_copy(
-            leafblocks.at[0], blocks.at[slot], sem.at[slot]
-        ).wait()
+        if not STREAM_SYNCDMA:
+            pltpu.make_async_copy(
+                leafblocks.at[0], blocks.at[slot], sem.at[slot]
+            ).wait()
         if STREAM_DIAG == "nodrain":
             return
-        feat = blocks[slot]                                # [KDIM, 5*cols]
+        if STREAM_STAGE:
+            staged[:, :] = blocks[slot]
+            feat = staged[:, :]                            # [KDIM, 5*cols]
+        else:
+            feat = blocks[slot]                            # [KDIM, 5*cols]
 
         def drain_chunk(c, _):
             live = (qmask[slot, c >> 4] >> (c & 15)) & 1
+            if STREAM_FULLDRAIN:
+                live = jnp.int32(1)
 
             @pl.when(live == 1)
             def _():
@@ -304,11 +326,16 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
 
             return 0
 
-        span_lo = qmask[slot, NMASKW]
-        span_hi = qmask[slot, NMASKW + 1]
+        if STREAM_FULLDRAIN:
+            span_lo = jnp.int32(0)
+            span_hi = jnp.int32(NCHUNK - 1)
+        else:
+            span_lo = qmask[slot, NMASKW]
+            span_hi = qmask[slot, NMASKW + 1]
 
         def _drain_one(c, feat):
-            rf = rayfeat[:, pl.ds(c * LANES, LANES)]       # [KDIM, 128]
+            rf = rayfeat[:, pl.ds(pl.multiple_of(c * LANES, LANES),
+                                  LANES)]       # [KDIM, 128]
             # ONE transposed-lhs matmul per chunk covers all five output
             # groups (the block's 5*cols columns are contiguous),
             # amortizing the MXU's fixed per-dot latency: contracting
@@ -363,7 +390,8 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             [blocks[s] for s in slots], axis=1)            # [KDIM, n*5*cols]
 
         def _drain_group(c, feat):
-            rf = rayfeat[:, pl.ds(c * LANES, LANES)]       # [KDIM, 128]
+            rf = rayfeat[:, pl.ds(pl.multiple_of(c * LANES, LANES),
+                                  LANES)]       # [KDIM, 128]
             prod = jax.lax.dot_general(
                 feat, rf, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -446,18 +474,24 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
 
             @pl.when(enq_a)
             def _():
-                pltpu.make_async_copy(
+                cp = pltpu.make_async_copy(
                     leafblocks.at[-(ca + 1)], blocks.at[slot_a],
                     sem.at[slot_a],
-                ).start()
+                )
+                cp.start()
+                if STREAM_SYNCDMA:
+                    cp.wait()
                 write_masks(node, 0, slot_a)
 
             @pl.when(enq_b)
             def _():
-                pltpu.make_async_copy(
+                cp = pltpu.make_async_copy(
                     leafblocks.at[-(cb + 1)], blocks.at[slot_b],
                     sem.at[slot_b],
-                ).start()
+                )
+                cp.start()
+                if STREAM_SYNCDMA:
+                    cp.wait()
                 write_masks(node, 6, slot_b)
 
             qcount = qcount + enq_a.astype(jnp.int32) + enq_b.astype(jnp.int32)
@@ -577,6 +611,7 @@ def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, planes,
             pltpu.VMEM((NCHUNK, cols, LANES), jnp.float32),
             pltpu.VMEM((NCHUNK, cols, LANES), jnp.float32),
             pltpu.VMEM((NBUF, KDIM, GROUPS * cols), jnp.bfloat16),
+            pltpu.VMEM((KDIM, GROUPS * cols), jnp.bfloat16),   # stage
             pltpu.VMEM((RAY_ROWS, LANES), jnp.float32),    # occlusion plane
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
@@ -609,10 +644,28 @@ def build_rayfeat(origin, direction, ctr):
     feat = jnp.concatenate([
         direction, m, osh, jnp.ones((n, 1), jnp.float32),
     ], axis=1)                                             # [n, LIVE=10]
-    r1 = feat.astype(jnp.bfloat16)
-    rem = feat - r1.astype(jnp.float32)
-    r2 = rem.astype(jnp.bfloat16)
-    r3 = (rem - r2.astype(jnp.float32)).astype(jnp.bfloat16)
+    # The residual split MUST use lax.reduce_precision, not an
+    # f32->bf16->f32 convert round-trip: under jit, XLA:TPU runs with
+    # allow_excess_precision and ELIDES the convert pair, so
+    # ``feat - f32(bf16(feat))`` folds to zero and the bf16x6 split
+    # silently degrades to plain bf16 — reproducing the exact ~35%
+    # wrong-winner failure the split exists to prevent.  Found
+    # 2026-08-20: eager and jitted build_rayfeat produced different
+    # residual rows on the TPU backend (38.7% of cells; every isolated
+    # kernel probe passed because the wrongness is created OUTSIDE the
+    # kernel, in the fused input program).  reduce_precision has
+    # explicit rounding semantics XLA cannot optimize away.
+    def bf16_round(x):
+        return jax.lax.reduce_precision(x, exponent_bits=8,
+                                        mantissa_bits=7)
+
+    r1f = bf16_round(feat)
+    rem = feat - r1f
+    r2f = bf16_round(rem)
+    r3f = bf16_round(rem - r2f)
+    r1 = r1f.astype(jnp.bfloat16)
+    r2 = r2f.astype(jnp.bfloat16)
+    r3 = r3f.astype(jnp.bfloat16)
     # transposed (K-major) for the rays-in-lanes drain matmul RHS;
     # 6 sections x 10 live columns + 4 zero pad = KDIM
     out = jnp.concatenate([r1, r2, r3, r1, r2, r1], axis=1)  # [n, 60]

@@ -905,3 +905,46 @@ def test_no_float_iota_in_ops_sources():
     assert not offenders, (
         f"float-dtype broadcasted_iota in ops modules (Mosaic tpu.iota "
         f"is integer-only; use int iota + astype): {offenders}")
+
+
+def test_rayfeat_residual_split_survives_jit():
+    """Regression gate for the 2026-08-20 excess-precision elision: under
+    jit, XLA:TPU (allow_excess_precision) folded build_rayfeat's
+    f32->bf16->f32 convert round-trip to identity, zeroing the r2/r3
+    residual sections and silently degrading bf16x6 to plain bf16 (~35%
+    wrong winners on adversarial scenes — the exact failure the split
+    exists to prevent).  build_rayfeat now uses lax.reduce_precision,
+    whose rounding XLA cannot elide.  This test pins the semantics:
+    jitted == eager, residual sections genuinely nonzero, and the three
+    sections reconstruct the f32 features to ~2^-23."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from clive2_tpu.ops import traverse_stream2 as ts2
+
+    rng = np.random.default_rng(11)
+    o = jnp.asarray(rng.uniform(-5, 5, (256, 3)).astype(np.float32))
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    ctr = jnp.zeros((3,), jnp.float32)
+
+    eager = np.asarray(ts2.build_rayfeat(o, d, ctr), np.float32)
+    jitted = np.asarray(jax.jit(ts2.build_rayfeat)(o, d, ctr), np.float32)
+    np.testing.assert_array_equal(
+        eager, jitted, err_msg="build_rayfeat differs under jit — the "
+        "residual split is being optimized away again")
+
+    L = ts2.LIVE
+    r1, r2, r3 = eager[0:L], eager[L:2 * L], eager[2 * L:3 * L]
+    assert (r2 != 0).mean() > 0.5, "r2 residual section is (near-)zero"
+    assert (r3 != 0).mean() > 0.3, "r3 residual section is (near-)zero"
+    # reconstruction: r1+r2+r3 ~= f32 feature values
+    osh = np.asarray(o) - np.asarray(ctr)[None, :]
+    m = np.cross(osh, np.asarray(d))
+    feat = np.concatenate(
+        [np.asarray(d), m, osh, np.ones((256, 1), np.float32)], axis=1).T
+    rec = r1 + r2 + r3
+    err = np.abs(rec - feat) / np.maximum(np.abs(feat), 1e-6)
+    assert err.max() < 1e-5, f"bf16x3 reconstruction error {err.max():.2e}"
