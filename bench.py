@@ -63,7 +63,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # so a cold full run stays inside the driver's recording budget even if
 # every Mosaic compile is a cache miss.
 BUDGETS = {
-    "canary_64": 60,
+    "canary_64": 150,   # must fit the canary's OWN cold Mosaic compile
+                        # (~100 s measured; a warm AOT load is ~5 s)
     "headline": 200,
     "cornell_256": 90,
     "teapots_512": 150,

@@ -313,17 +313,23 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
                 # (each doubling of blocks_per_leaf roughly halves it).
                 # CLIVE2_STREAM_BPL forces a minimum (A/B: fewer, larger
                 # DMAs vs finer top-tree culling).
-                # CLIVE2_STREAM_IMPL=2 selects the MXU bilinear-MT kernel
-                # (ops/traverse_stream2.py).  Its round-3 hit mismatch was
-                # root-caused to bf16x3 operand noise under ~500x
-                # cancellation and fixed with the bf16x6 K=64 layout
-                # (see build_rayfeat); the default stays the VPU streaming
-                # kernel until the queued hardware validation
-                # (scripts/val_tpu_round3.py) confirms the fix on-chip.
+                # CLIVE2_STREAM_IMPL selects the streaming kernel; the
+                # DEFAULT is the MXU bilinear-MT kernel ("2",
+                # ops/traverse_stream2.py), flipped from the VPU kernel
+                # on 2026-08-20 hardware evidence: stream2 validated at
+                # 100% id match (200k adversarial + 1.3M sponza,
+                # docs/kernel_matrix_r04c.log) and is the ONLY impl that
+                # renders the production big scenes — stream1's
+                # 0.05 Mrays/s incoherent drains die with a TPU device
+                # error inside full BDPT sample programs, while stream2
+                # measured medium_dragon 1.18 / big_dragon 1.04 /
+                # sponza_1080p 0.89 Mrays/s (BENCH r4; stream1's only
+                # green sponza row was round-2's 0.30).  "1" remains an
+                # env/tuned-selectable fallback.
                 from .utils.tuned import tuned_default
 
                 impl = (os.environ.get("CLIVE2_STREAM_IMPL")
-                        or tuned_default("stream_impl", "1"))
+                        or tuned_default("stream_impl", "2"))
                 bpl_min = int(os.environ.get("CLIVE2_STREAM_BPL", 1))
                 # both streaming impls bf16-pack the top-tree boxes
                 # (32 B/node), which keeps sponza-scale scenes at bpl=1

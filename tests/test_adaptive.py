@@ -16,6 +16,8 @@ import pytest
 import clive2_tpu as c2
 from clive2_tpu.renderer import Renderer
 
+pytestmark = pytest.mark.slow  # minutes-scale; default gate skips (-m slow)
+
 W = H = 48
 
 

@@ -4,6 +4,9 @@ import glob
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # minutes-scale; default gate skips (-m slow)
 
 
 def test_render_cli(tmp_path):

@@ -13,6 +13,10 @@ import numpy as np
 
 import clive2_tpu as c2
 
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow  # minutes-scale; default gate skips (-m slow)
+
 
 def _render(chunk_rows, spp=48, size=24, seed=3):
     scene = c2.create_scene_from_preset("empty", pixel_width=size,

@@ -61,8 +61,10 @@ def test_past_binary_smem_falls_to_wide(monkeypatch):
 
 
 def test_past_wide_vmem_falls_to_stream(monkeypatch):
+    # the default streaming impl is the MXU kernel (stream2) since the
+    # 2026-08-20 hardware flip (see scene.py dispatch comment)
     s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=64 * 1024)
-    assert _selected(s) == ["stream"]
+    assert _selected(s) == ["stream2"]
 
 
 def test_padded_over_budget_repacks_compact(monkeypatch):
@@ -100,9 +102,12 @@ def test_stream_impl2_env_selects_mxu_kernel(monkeypatch):
 def test_stream_coarsens_blocks_per_leaf_to_fit_smem(monkeypatch):
     # with a tiny SMEM budget the bpl=1 top tree cannot fit; the
     # dispatcher must coarsen until it does rather than give up
+    # (stream2's K-major blocks are [n_fat, KDIM, GROUPS*cols])
+    from clive2_tpu.ops import traverse_stream2 as ts2
+
     s = _make(monkeypatch, 3000, smem=1024, vmem=64 * 1024)
-    assert _selected(s) == ["stream"]
-    cols = s.data["stream"]["leafblocks"].shape[2]
+    assert _selected(s) == ["stream2"]
+    cols = s.data["stream2"]["leafblocks"].shape[2] // ts2.GROUPS
     assert cols > 128, f"expected coarsened fat leaves, got cols={cols}"
 
 

@@ -18,6 +18,9 @@ import clive2_tpu as c2
 from clive2_tpu.geometry import TriangleSoup
 from clive2_tpu.models import icosphere
 from clive2_tpu.scene import create_scene
+import pytest
+
+pytestmark = pytest.mark.slow  # minutes-scale; default gate skips (-m slow)
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden_glass.npz")
 SIZE = 24

@@ -84,6 +84,7 @@ class TestBrutePallas:
                                       np.asarray(want_i)[act])
 
 
+@pytest.mark.slow  # interpret-mode kernel oracle, minutes-scale
 class TestTraversePallas2:
     @pytest.mark.parametrize("t", [41, 600])  # 41: ragged final leaf
     def test_matches_gather_walk(self, rng, t):
@@ -144,6 +145,7 @@ class TestTraversePallas2:
         _assert_hits_equal(got, want, "pallas2 cornell")
 
 
+@pytest.mark.slow  # interpret-mode kernel oracle, minutes-scale
 class TestTraverseWide:
     """BVH8 wide-node kernel: ops/traverse_wide.py."""
 
@@ -340,6 +342,7 @@ class TestTraverseWide:
         assert ((ah_i >= 0) == (np.asarray(want[0]) >= 0)).all()
 
 
+@pytest.mark.slow  # interpret-mode kernel oracle, minutes-scale
 class TestTraverseStream:
     """Streaming (HBM fat-leaf DMA) kernel: ops/traverse_stream.py."""
 
@@ -412,6 +415,7 @@ class TestTraverseStream:
                                    np.asarray(wt)[keep], rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # interpret-mode kernel oracle, minutes-scale
 class TestTraverseStream2:
     """MXU bilinear-MT streaming kernel: ops/traverse_stream2.py.
 
@@ -559,6 +563,7 @@ class TestTraverseStream2:
         _assert_hits_equal(got, want, "stream2 capped")
 
 
+@pytest.mark.slow  # interpret-mode kernel oracle, minutes-scale
 class TestBoundedLaunches:
     """The per-launch block cap (MAX_BLOCKS_PER_CALL): oversized dispatches
     split into lax.map'd sub-launches so one kernel execution stays under
@@ -595,6 +600,7 @@ class TestBoundedLaunches:
         _assert_hits_equal(got, want, "pallas2 capped")
 
 
+@pytest.mark.slow  # interpret-mode kernel oracle, minutes-scale
 class TestAnyHit:
     """any_hit=True (shadow-ray) variants: a lane reports a hit IFF a hit
     exists under its t_max (blocked-set equality with the closest-hit
@@ -734,6 +740,7 @@ class TestAnyHit:
 
 
 
+@pytest.mark.slow  # interpret-mode kernel oracle, minutes-scale
 class TestStream2Precision:
     """Regression-pins the bf16x6 operand layout of the MXU drain.
 

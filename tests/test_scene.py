@@ -9,6 +9,8 @@ from clive2_tpu.models import displaced_blob
 from clive2_tpu.load import soup_from_mesh
 from clive2_tpu.scene import orbit_camera
 
+pytestmark = pytest.mark.slow  # minutes-scale; default gate skips (-m slow)
+
 
 @pytest.fixture(scope="module")
 def bvh_scene():

@@ -14,6 +14,8 @@ from jax.sharding import Mesh
 import clive2_tpu as c2
 from clive2_tpu.integrator.render import make_sharded_render, render_sample_jit
 
+pytestmark = pytest.mark.slow  # render-based statistical oracle, minutes-scale (-m slow)
+
 
 @pytest.fixture(scope="module")
 def scene_64():

@@ -23,6 +23,8 @@ from clive2_tpu.integrator.render import (
     render_sample,
 )
 
+pytestmark = pytest.mark.slow  # render-based statistical oracle (-m slow)
+
 
 @pytest.fixture(scope="module")
 def scene():
