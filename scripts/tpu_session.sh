@@ -28,6 +28,16 @@ export CLIVE2_SESSION_OWNER=1
 # tests/test_session_steps.py)
 . scripts/tpu_steps.sh
 
+# link-health microprobe FIRST (VERDICT r3 #6): ~1 min, stamps transfer
+# bandwidth / dispatch latency / compile speed + a verdict line into the
+# log, so every later timing section is interpretable.  Round-3 lesson
+# formalized: a "degraded-*" verdict means kernel-timing A/Bs from this
+# session carry no signal (correctness rows remain valid) — and
+# tune_from_session must not flip tuned defaults on them.  Round-4
+# lesson: verify the degradation theory with a PIPELINED dispatch A/B
+# (scripts/diag_wide_tunnel.py) before blaming the link for slowness.
+step 180 python scripts/link_probe.py
+
 # first contact: two fast production-default bench rows so even a brief
 # chip window (axon has flapped for multi-hour stretches) leaves fresh
 # hardware numbers in the log and warm compile caches for the driver

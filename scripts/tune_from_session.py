@@ -130,6 +130,14 @@ def _stream2_candidates(text):
 def decide(text):
     updates = {}
 
+    # link-health gate (VERDICT r3 #6, formalized round 4): the session
+    # log opens with scripts/link_probe.py's verdict line.  A degraded
+    # link invalidates every TIMING comparison in the log (round 3
+    # deployed no flips for exactly this reason, by hand) — correctness
+    # rows remain valid but no tuned default may flip on their times.
+    if re.search(r'"phase": "verdict", "link": "degraded-', text):
+        return updates
+
     # --- wide-kernel per-group leaf gating --------------------------------
     if check_pass(text, "wide47k-gate"):
         wins = []

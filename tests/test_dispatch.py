@@ -306,3 +306,28 @@ def test_stream2_config_selection():
     nodefault = "\n".join(log.split("\n")[6:])
     d = tfs.decide(nodefault)
     assert not any(k.startswith("stream2_") for k in d)
+
+
+def test_tuner_refuses_flips_on_degraded_link():
+    """VERDICT r3 #6: a session whose link-probe verdict is degraded must
+    deploy NO tuned flips — its timing A/Bs carry no signal (round 3
+    withheld flips by hand for exactly this; now it's mechanical)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import importlib
+
+    tfs = importlib.import_module("tune_from_session")
+    win_log = "\n".join([
+        '{"phase": "verdict", "link": "degraded-transfer"}',
+        "=== START [] python scripts/val_tpu_round3.py wide (date)",
+        "wide47k-gate coherent: id match 100.00%  hitrate 0.3/0.3",
+        "wide47k-gate incoherent: id match 100.00%  hitrate 0.2/0.2",
+        "wide47k coherent:  1000.0 ms ->   1.00 Mrays/s",
+        "wide47k incoherent:  1000.0 ms ->   1.00 Mrays/s",
+        "wide47k-gate coherent:   500.0 ms ->   2.00 Mrays/s",
+        "wide47k-gate incoherent:   500.0 ms ->   2.00 Mrays/s",
+    ])
+    assert tfs.decide(win_log) == {}
+    healthy = win_log.replace("degraded-transfer", "healthy")
+    assert tfs.decide(healthy).get("wide_gate") == "1"
