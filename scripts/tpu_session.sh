@@ -1,14 +1,14 @@
 #!/bin/bash
-# Full round-3 TPU hardware session, run once the axon backend serves a
-# chip (see tpu_queue.sh).  Ordered by value-per-chip-minute:
-#   1. val_tpu_round3.py  — stream2 + slot-packed-wide correctness gates
-#                           and microbench (the round's #1 deliverable)
-#   2. stream2 knob sweep — ROWS x OCC (the DMA model, scripts/
-#                           dma_model.py, says ROWS=48/bpl=1 should win;
-#                           each config pays its own Mosaic compile)
-#   3. shade_ab.py        — the EP-analog bound measurement (VERDICT)
-#   4. bench.py           — full default-config record (also warms the
-#                           compile caches for the driver's own run)
+# Unattended TPU hardware session (round-5 plan), run once the axon
+# backend serves a chip (see tpu_queue.sh).  Ordered by
+# value-per-chip-minute:
+#   1. link_probe.py      — link-health verdict stamped into the log
+#   2. first-contact bench rows (fresh numbers + warm caches fast)
+#   3. kernel_matrix.py   — streaming-kernel regression rows
+#   4. wave-order A/Bs    — the open hardware question
+#   5. profile_stages.py  — per-stage walls for the next optimization
+#   6. bench.py pretune/posttune — full default-config record (also
+#                           warms the AOT caches for the driver's run)
 # All output appends to $LOG.  One process owns the chip at a time.
 set -u
 cd "$(dirname "$0")/.."
@@ -43,56 +43,26 @@ step 180 python scripts/link_probe.py
 # hardware numbers in the log and warm compile caches for the driver
 BENCH_CONFIGS=cornell_256,dragon_512 step 420 python bench.py
 
-# split the gates so an overrun in one section cannot starve the other
-# (the wide section now carries 3 extra Mosaic compiles: the compact rows)
-step 2400 python scripts/val_tpu_round3.py stream2
-step 3600 python scripts/val_tpu_round3.py wide
-# bit-packed box phase A/B (3 Mosaic compiles) in its own step so a
-# compile failure there cannot starve the gates above
-step 2400 python scripts/val_tpu_round3.py widebits
+# Round-4 retirements (all DECIDED on hardware 2026-08-20, see
+# ROADMAP.md round-4 status + docs/kernel_matrix_r04*.log): the wide
+# gate/pop2/bits/compact sweeps (all neutral-or-worse), the stream2
+# ROWS/NBUF/OCC knob sweep (flat), drain aggregation (flat), shade_ab
+# (EP question closed: sorting recovers <=0.5% of sample time), the
+# pallas_vmem raise (a VMEM-resident wide kernel at 202k would run
+# 0.4 Mrays/s vs stream2's measured 1.18 — the flip would regress),
+# and the stream-impl A/B (stream2 is the code default now).
 
-# checkpoint the flips earned so far (idempotent — decide() re-parses
-# the whole log): if the chip drops mid-session, the wide-kernel wins
-# from the gates above still deploy.  Later benches then measure the
-# tuned kernels, which is what production would run.
-step 120 python scripts/tune_from_session.py "$LOG"
+# regression tracking of the streaming default: correctness vs oracle
+# + throughput for stream1/stream2 on the adversarial 200k scene and
+# the real sponza mesh (one JSON row per kernel x regime)
+step 1800 python scripts/kernel_matrix.py stream200
+step 1800 python scripts/kernel_matrix.py sponza
 
-if grep -q "stream2 coherent: id match 100" "$LOG"; then
-  for rows in 32 48; do
-    for occ in 1 0; do
-      CLIVE2_STREAM_ROWS=$rows CLIVE2_STREAM_OCC=$occ \
-        step 1800 python scripts/val_tpu_round3.py stream2
-    done
-  done
-  # deeper DMA ring at the model-preferred config
-  CLIVE2_STREAM_ROWS=48 CLIVE2_STREAM_NBUF=8 \
-    step 1800 python scripts/val_tpu_round3.py stream2
-  # dual-slot drain aggregation A/B (traverse_stream2.drain2): decides
-  # whether the ~160 ns/chunk-visit cost is fixed overhead (agg wins)
-  # or the matmul itself (agg loses); tune_from_session flips stream_agg
-  for rows in 32 48; do
-    CLIVE2_STREAM_ROWS=$rows \
-      step 2400 python scripts/val_tpu_round3.py stream2agg
-  done
-  # quad-slot drain aggregation: needs the deeper ring (agg4 rows only
-  # emit when NBUF >= 8); the step's own stream2/stream2-agg rows give
-  # the same-env baselines
-  CLIVE2_STREAM_ROWS=48 CLIVE2_STREAM_NBUF=8 \
-    step 2400 python scripts/val_tpu_round3.py stream2agg
-  # checkpoint the stream2 knob-config winner before the long benches
-  step 120 python scripts/tune_from_session.py "$LOG"
-  # end-to-end A/B on the big-scene bench configs (defaults use impl 1;
-  # this row set decides whether to flip the scene.py default)
-  CLIVE2_STREAM_IMPL=2 BENCH_CONFIGS=medium_dragon,big_dragon,sponza_1080p \
-    step 2400 python bench.py
-else
-  echo "=== stream2 correctness gate FAILED; skipping knob sweep" >> "$LOG"
-fi
-
-# wave-order A/B: auto default is morton on streaming scenes (static
-# generation-time order, zero per-cast sort glue — render.py _wave_order);
-# this raster-pinned run vs the default bench below decides whether the
-# tuner must override the model-guided default with hardware data
+# wave-order A/B (STILL OPEN on hardware): auto default is morton on
+# streaming scenes (static generation-time order, zero per-cast sort
+# glue — render.py _wave_order); this raster-pinned run vs the default
+# bench below decides whether the tuner must override the model-guided
+# default with hardware data
 CLIVE2_WAVE_ORDER=raster BENCH_CONFIGS=medium_dragon,big_dragon,sponza_1080p \
   step 2400 python bench.py
 # mid-size scenes default raster; this morton-pinned run vs the default
@@ -101,25 +71,9 @@ CLIVE2_WAVE_ORDER=raster BENCH_CONFIGS=medium_dragon,big_dragon,sponza_1080p \
 CLIVE2_WAVE_ORDER=morton BENCH_CONFIGS=teapots_512,dragon_512 \
   step 1800 python bench.py
 
-# raised VMEM budget A/B: the compact 12-slot pack fits medium_dragon
-# (202k tris) in 13.2 MB — resident wide kernel instead of streaming if
-# Mosaic accepts the pack at a 14 MB budget (tuner flips pallas_vmem).
-# BENCH_TIME_BUDGET=3 gives the config 600 s: the row must absorb a
-# cold Mosaic compile of the 202k wide kernel, and a timeout row would
-# silently veto the flip
-CLIVE2_PALLAS_VMEM=14680064 BENCH_TIME_BUDGET=3 BENCH_CONFIGS=medium_dragon \
-  step 1200 python bench.py
-
-# drain-overhead split ablations (nodrain/count): the measurement that
-# says whether the ~160 ns/chunk-visit is fixed issue cost (deeper agg
-# is the next lever) or the matmul itself (it is not)
-step 1800 python scripts/diag_stream.py 871000 1000000
-
-step 900 python scripts/shade_ab.py
-
-# stage-level wall breakdown on the two mid-size workhorses: the data
-# the NEXT optimization round needs (is the teapots ~140 ms MIS/contrib
-# stage still the wall after this round's kernel flips?)
+# stage-level wall breakdown on the two mid-size workhorses (round-4
+# data: dragon is 97% traversal-bound — trace 2.95 / casts 4.31
+# Mrays/s, MIS 63 ms; refresh each session to catch regressions)
 step 900 python scripts/profile_stages.py teapots 512 3
 step 900 python scripts/profile_stages.py dragon 512 3
 
@@ -139,4 +93,4 @@ echo "=== SESSION DONE ($(date))" >> "$LOG"
 # unattended (no interactive session alive to read /tmp), and the driver
 # auto-commits the work tree at round end — docs/ + output/tuned.json
 # are the durable copies the next round (and the judge) can read
-cp "$LOG" docs/tpu_session_round3.log 2>/dev/null || true
+cp "$LOG" docs/tpu_session_latest.log 2>/dev/null || true
