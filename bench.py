@@ -68,9 +68,9 @@ BUDGETS = {
     "headline": 200,
     "cornell_256": 90,
     "teapots_512": 150,
-    "dragon_512": 180,
-    "medium_dragon": 200,
-    "big_dragon": 240,
+    "dragon_512": 220,
+    "medium_dragon": 300,   # stream2 cold Mosaic compile measured 212-245 s
+    "big_dragon": 400,      # ... and 193-330 s at 871k; warm loads are ~3 s
     "sponza_1080p": 330,
     "movie_720p": 150,
 }
