@@ -576,6 +576,12 @@ def main():
                     "metric": cfg, "value": None,
                     "vs_baseline": None,
                 }
+                # key recovered rows by the CONFIG name like bare-timeout
+                # rows (the child's internal metric name would make
+                # partial rows invisible to config-keyed log parsers)
+                if rec.get("metric") != cfg:
+                    rec["child_metric"] = rec.get("metric")
+                    rec["metric"] = cfg
                 rec["unit"] = ("timeout" if "timeout" in err
                                else rec.get("unit", "error"))
                 rec["partial"] = True
@@ -589,9 +595,15 @@ def main():
                 if cfg == "canary_64":
                     canary_failed = True
             else:
-                summary.append(full if full is not None else
-                               {"metric": cfg, "value": None,
-                                "unit": "no-row"})
+                rec = (full if full is not None else
+                       {"metric": cfg, "value": None, "unit": "no-row"})
+                if err:
+                    # the child printed a completed row but then exited
+                    # nonzero — keep the row, but carry the error so the
+                    # summary can't report a crashed subprocess as clean
+                    rec = dict(rec)
+                    rec["error"] = err
+                summary.append(rec)
         # one final line re-emitting every row: tail truncation of the
         # driver artifact can no longer lose the early rows (round 3
         # lost its headline row exactly this way)

@@ -108,12 +108,11 @@ def _wave_order(scene, mesh=None) -> str:
     data.
 
     Mid-size packet-kernel scenes (``pallas``/``wide``) default to
-    raster — their round-2 headline numbers were measured raster, and
-    the host model's depth-0 win there (cv 0.33 raster vs 0.11 morton
-    on the 47k dragon, scripts/sort_inherit_ab.py) is a VMEM-resident
-    regime where chunk-visits may not be the wall — but the tuned
-    ``wave_order_mid`` key flips them to morton when the queued
-    hardware A/B (tpu_session.sh) measures a win."""
+    morton: the round-4 hardware A/B measured morton 3.75 vs raster
+    3.62 Mrays/s on the 47k dragon (+3.6%, docs/round4_summary.md) —
+    the flip was deferred mid-round only to protect warm AOT keys.
+    The tuned ``wave_order_mid`` key can still override from newer
+    hardware data."""
     v = os.environ.get("CLIVE2_WAVE_ORDER", "auto")
     if v in ("raster", "morton"):
         return v
@@ -122,7 +121,7 @@ def _wave_order(scene, mesh=None) -> str:
     if ("stream" in scene) or ("stream2" in scene):
         return tuned_default("wave_order", "morton")
     if ("pallas" in scene) or ("wide" in scene):
-        return tuned_default("wave_order_mid", "raster")
+        return tuned_default("wave_order_mid", "morton")
     return "raster"
 
 

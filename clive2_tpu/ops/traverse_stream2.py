@@ -380,10 +380,14 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
         double win.  n=4 also multiplies the foreign-merge cost on
         disjoint live-chunk sets, so its sign can differ from n=2's."""
         slots = [(qhead + k) & (NBUF - 1) for k in range(n)]
-        for s in slots:
-            pltpu.make_async_copy(
-                leafblocks.at[0], blocks.at[s], sem.at[s]
-            ).wait()
+        if not STREAM_SYNCDMA:
+            # under SYNCDMA the enqueue path already consumed each
+            # slot's semaphore with cp.wait(); waiting again here would
+            # block on a never-signaled semaphore and hang on hardware
+            for s in slots:
+                pltpu.make_async_copy(
+                    leafblocks.at[0], blocks.at[s], sem.at[s]
+                ).wait()
         if STREAM_DIAG == "nodrain":
             return
         feat = jnp.concatenate(

@@ -296,16 +296,14 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
                          or tp2.vmem_bytes(packed) > PALLAS_VMEM_BUDGET)
                 ):
                     packed = None
-            if packed is None and force == "":
-                # scenes past the binary kernel's SMEM ceiling but inside
-                # the wide kernel's VMEM budget use BVH8 (~0.6 B/tri SMEM)
-                packed_w = pack_wide()
-                if (
-                    twide.smem_bytes(packed_w) <= PALLAS_SMEM_BUDGET
-                    and twide.vmem_bytes(packed_w) <= PALLAS_VMEM_BUDGET
-                ):
-                    data["wide"] = {k: dev(v) for k, v in packed_w.items()}
-                    return data, bvh, cam_ids
+            # Scenes past the binary kernel's SMEM ceiling go STRAIGHT to
+            # the streaming kernel.  The BVH8 wide kernel used to own the
+            # ~100-150k window (between pallas2's SMEM ceiling and its own
+            # VMEM budget), but the round-4 hardware matrix measured it at
+            # 0.38-0.43 Mrays/s in that window — slowest of every option,
+            # ~10x under stream2's 200k-tri rows (5.85/0.60 coh/inc,
+            # docs/kernel_matrix_r04c.log) — so it is A/B-only now
+            # (CLIVE2_TRAVERSAL=wide).
             if packed is not None:
                 data["pallas"] = {k: dev(v) for k, v in packed.items()}
             else:
@@ -330,6 +328,22 @@ def _build_scene_pytree(soup: TriangleSoup, materials: MaterialTable,
 
                 impl = (os.environ.get("CLIVE2_STREAM_IMPL")
                         or tuned_default("stream_impl", "2"))
+                if impl == "1" and os.environ.get(
+                        "CLIVE2_STREAM1_FORCE") != "1":
+                    # KNOWN-BROKEN fence (round-4 hardware): stream1's
+                    # incoherent drains die with a TPU device error
+                    # inside production BDPT programs at 202k+ tris —
+                    # every production big-scene render on it faults.
+                    # Selecting it now requires the explicit
+                    # CLIVE2_STREAM1_FORCE=1 ack (A/B/diagnosis only).
+                    import warnings
+                    warnings.warn(
+                        "CLIVE2_STREAM_IMPL=1 (VPU streaming kernel) is "
+                        "fenced: it faults on TPU inside production BDPT "
+                        "programs at 202k+ tris (round-4 hardware). "
+                        "Falling back to stream2; set "
+                        "CLIVE2_STREAM1_FORCE=1 to override for A/Bs.")
+                    impl = "2"
                 bpl_min = int(os.environ.get("CLIVE2_STREAM_BPL", 1))
                 # both streaming impls bf16-pack the top-tree boxes
                 # (32 B/node), which keeps sponza-scale scenes at bpl=1

@@ -135,7 +135,22 @@ def decide(text):
     # link invalidates every TIMING comparison in the log (round 3
     # deployed no flips for exactly this reason, by hand) — correctness
     # rows remain valid but no tuned default may flip on their times.
-    if re.search(r'"phase": "verdict", "link": "degraded-', text):
+    # Parse the actual JSON verdict lines and gate on the LAST one: a
+    # session that re-probes healthy after one transient degraded
+    # verdict still deploys (the former substring grep matched anywhere
+    # in the log and was coupled to json.dumps formatting).
+    last_link = None
+    for line in text.splitlines():
+        line = line.strip()
+        if not (line.startswith("{") and '"verdict"' in line):
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("phase") == "verdict" and "link" in rec:
+            last_link = str(rec["link"])
+    if last_link is not None and last_link.startswith("degraded"):
         return updates
 
     # --- wide-kernel per-group leaf gating --------------------------------

@@ -53,11 +53,14 @@ def test_mid_scene_takes_binary_packet_kernel(monkeypatch):
     assert _selected(s) == ["pallas"]
 
 
-def test_past_binary_smem_falls_to_wide(monkeypatch):
-    # shrink SMEM so the 3k scene exceeds the binary kernel's budget but
-    # the wide kernel's ~36 B/node cost still fits
+def test_past_binary_smem_falls_to_stream2(monkeypatch):
+    # shrink SMEM so the 3k scene exceeds the binary kernel's budget:
+    # the dispatcher now goes STRAIGHT to the streaming kernel — the
+    # wide kernel measured 0.38-0.43 Mrays/s in its former 100-150k
+    # window on hardware (round 4), ~10x under stream2, so it is
+    # A/B-only (CLIVE2_TRAVERSAL=wide)
     s = _make(monkeypatch, 3000, smem=24 * 1024)
-    assert _selected(s) == ["wide"]
+    assert _selected(s) == ["stream2"]
 
 
 def test_past_wide_vmem_falls_to_stream(monkeypatch):
@@ -81,14 +84,15 @@ def test_padded_over_budget_repacks_compact(monkeypatch):
     hi = tw.vmem_bytes(tw.pack_bvh8(bvh, blob))
     lo = tw.vmem_bytes(tw.pack_bvh8(bvh, blob, compact=True))
     assert lo < hi
-    s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=(lo + hi) // 2)
+    s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=(lo + hi) // 2,
+              env={"CLIVE2_TRAVERSAL": "wide"})
     assert _selected(s) == ["wide"]
     assert "compact" in s.data["wide"]
 
 
 def test_wide_compact_env_forces_layout(monkeypatch):
     s = _make(monkeypatch, 3000, smem=24 * 1024,
-              env={"CLIVE2_WIDE_COMPACT": "1"})
+              env={"CLIVE2_TRAVERSAL": "wide", "CLIVE2_WIDE_COMPACT": "1"})
     assert _selected(s) == ["wide"]
     assert "compact" in s.data["wide"]
 
@@ -127,8 +131,18 @@ def test_tuned_file_flips_stream_impl(monkeypatch, tmp_path):
     s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=64 * 1024)
     assert _selected(s) == ["stream2"]
     s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=64 * 1024,
-              env={"CLIVE2_STREAM_IMPL": "1"})
+              env={"CLIVE2_STREAM_IMPL": "1", "CLIVE2_STREAM1_FORCE": "1"})
     assert _selected(s) == ["stream"]
+
+
+def test_stream1_is_fenced_without_force(monkeypatch):
+    """stream1 faults on TPU inside production BDPT programs at 202k+
+    tris (round-4 hardware), so selecting it must require an explicit
+    CLIVE2_STREAM1_FORCE=1 ack and otherwise fall back to stream2."""
+    with pytest.warns(UserWarning, match="fenced"):
+        s = _make(monkeypatch, 3000, smem=24 * 1024, vmem=64 * 1024,
+                  env={"CLIVE2_STREAM_IMPL": "1"})
+    assert _selected(s) == ["stream2"]
 
 
 def test_tune_from_session_decisions(tmp_path, monkeypatch):
