@@ -53,6 +53,13 @@ INF = float("inf")
 # stack entries popped per while-loop iteration (batched latency chains)
 QUAD = int(os.environ.get("CLIVE2_QUAD_POP", 4))
 
+# measurement-only ablation (corrupts results; scripts/kernel_matrix.py):
+#   "noleaf"  pop + box-test + stack walk only, leaf_tests skipped —
+#             the node-vs-leaf cost split this kernel never had (the
+#             round-4 profile says the 47k dragon is 97%
+#             traversal-bound on this kernel but not WHERE inside it)
+PALLAS_DIAG = os.environ.get("CLIVE2_PALLAS_DIAG", "")
+
 # max packets per pallas_call: one kernel launch must stay well under the
 # TPU per-launch watchdog (see traverse_stream.MAX_BLOCKS_PER_CALL for the
 # measured failure).  2048 packets = 2M rays ~ a few hundred ms here.
@@ -255,17 +262,18 @@ def _kernel(any_hit, nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
             sp = sp + push_a.astype(jnp.int32) + push_b.astype(jnp.int32)
 
         # phase 4: leaf children — side-effecting, no carried vectors
-        for j in range(QUAD):
-            ca, cb, hit_a, tmin_a, hit_b, tmin_b = info[j]
-            na, nb = nears[j]
+        if PALLAS_DIAG != "noleaf":
+            for j in range(QUAD):
+                ca, cb, hit_a, tmin_a, hit_b, tmin_b = info[j]
+                na, nb = nears[j]
 
-            @pl.when((na < INF) & (ca < 0))
-            def _(ca=ca, hit=hit_a):
-                leaf_tests(-(ca + 1), hit)
+                @pl.when((na < INF) & (ca < 0))
+                def _(ca=ca, hit=hit_a):
+                    leaf_tests(-(ca + 1), hit)
 
-            @pl.when((nb < INF) & (cb < 0))
-            def _(cb=cb, hit=hit_b):
-                leaf_tests(-(cb + 1), hit)
+                @pl.when((nb < INF) & (cb < 0))
+                def _(cb=cb, hit=hit_b):
+                    leaf_tests(-(cb + 1), hit)
 
         return sp
 

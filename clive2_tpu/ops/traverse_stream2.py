@@ -115,6 +115,20 @@ STREAM_SYNCDMA = int(os.environ.get("CLIVE2_STREAM_SYNCDMA", "0"))
 # (trace.metal:110, :152).  0 = static caps only (A/B knob).
 STREAM_OCC = int(os.environ.get("CLIVE2_STREAM_OCC")
                  or tuned_default("stream2_occ", "1"))
+# Dead-chunk skipping strategy inside the drain loop.  "span" (the
+# round-4 shipping behavior) runs a fori_loop over the live row span
+# [lo, hi] with a per-chunk mask-bit test — the round-4 host-exact
+# accounting (scripts/drain_cost_model.py) measured 10.4M DEAD in-span
+# chunks on the 200k incoherent workload, ~25% of total drain time,
+# each paying only the mask read + branch.  "word" (round-5) iterates
+# the SET BITS of each 16-bit mask word directly (b = word & -word;
+# chunk = 16*w + bit_index(b); word &= word-1), so dead chunks cost
+# zero iterations and the span bookkeeping (2 SMEM words + 2 vector
+# reduces per enqueue) disappears.
+STREAM_SKIP = (os.environ.get("CLIVE2_STREAM_SKIP")
+               or tuned_default("stream2_skip", "word"))
+assert STREAM_SKIP in ("span", "word"), \
+    "CLIVE2_STREAM_SKIP must be span|word"
 # ROWS / NBUF are stream2's OWN knobs (same env vars as the VPU stream
 # kernel, but tuned defaults diverge: stream1's measured optima are
 # ROWS=32 / NBUF=4 while the DMA model predicts ROWS=48 and a deeper
@@ -209,6 +223,12 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
                 bc(w2 & jnp.int32(-65536)))
 
     def box_test(node, base, alive_t):
+        """Packet slab test: returns (nearest entry t over the packet —
+        INF when no ray hits — and the per-ray live mask).  ONE slab
+        evaluation serves both the traversal decision and, when the
+        child is a fat leaf, the drain chunk masks (write_masks used to
+        recompute the identical 6-plane test per enqueue — pure waste,
+        ~half the node phase's vector work on leaf-heavy walks)."""
         mnx, mny, mnz, mxx, mxy, mxz = unpack_box(node, base)
         t0x = (mnx - o_x) * invx
         t1x = (mxx - o_x) * invx
@@ -225,7 +245,7 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             jnp.minimum(jnp.maximum(t0z, t1z), alive_t),
         )
         hit = tmin <= tmax
-        return jnp.min(jnp.where(hit, tmin, INF))
+        return jnp.min(jnp.where(hit, tmin, INF)), hit
 
     # chunk c of the drain covers exactly plane row c (NCHUNK == RAY_ROWS),
     # so a per-ROW any-hit bitmask computed at enqueue time tells the drain
@@ -239,31 +259,48 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
     # packet size, defeating big packets).
     rowi = jax.lax.broadcasted_iota(jnp.int32, (RAY_ROWS, LANES), 0)
 
-    def write_masks(node, base, slot):
-        mnx, mny, mnz, mxx, mxy, mxz = unpack_box(node, base)
-        t0x = (mnx - o_x) * invx
-        t1x = (mxx - o_x) * invx
-        t0y = (mny - o_y) * invy
-        t1y = (mxy - o_y) * invy
-        t0z = (mnz - o_z) * invz
-        t1z = (mxz - o_z) * invz
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
-        )
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.minimum(jnp.maximum(t0z, t1z), cap_plane()),
-        )
-        live = tmin <= tmax
+    def write_masks(live, slot):
+        """Pack the per-ray live mask (from the enqueue's OWN slab test,
+        see box_test) into per-row chunk bits; under span mode also
+        record the live row span [lo, hi] (word mode iterates set bits
+        directly and needs no span)."""
         bit = jnp.where(live, jnp.int32(1) << (rowi & 15), jnp.int32(0))
         for w in range(NMASKW):
             qmask[slot, w] = jnp.sum(
                 jnp.max(jnp.where((rowi >> 4) == w, bit, 0), axis=1))
-        qmask[slot, NMASKW] = jnp.min(
-            jnp.where(live, rowi, jnp.int32(NCHUNK)))
-        qmask[slot, NMASKW + 1] = jnp.max(
-            jnp.where(live, rowi, jnp.int32(-1)))
+        if STREAM_SKIP != "word" or STREAM_FULLDRAIN:
+            qmask[slot, NMASKW] = jnp.min(
+                jnp.where(live, rowi, jnp.int32(NCHUNK)))
+            qmask[slot, NMASKW + 1] = jnp.max(
+                jnp.where(live, rowi, jnp.int32(-1)))
+
+    def _bit_index16(b):
+        """Index of the single set bit of a 16-bit one-hot word, in
+        branch-free scalar ops (no reliance on Mosaic lowering clz /
+        popcount on the scalar core)."""
+        i = jnp.where((b & jnp.int32(0xFF00)) != 0, jnp.int32(8),
+                      jnp.int32(0))
+        i = i | jnp.where((b & jnp.int32(0xF0F0)) != 0, 4, 0)
+        i = i | jnp.where((b & jnp.int32(0xCCCC)) != 0, 2, 0)
+        i = i | jnp.where((b & jnp.int32(0xAAAA)) != 0, 1, 0)
+        return i
+
+    def _for_set_bits(word0, base_c, visit):
+        """Run ``visit(c)`` for chunk index c of every set bit of
+        ``word0`` (a 16-bit mask word covering chunks [base_c,
+        base_c+16)).  Dead chunks cost zero loop iterations — the
+        round-4 span scan paid a mask read + branch for each of 10.4M
+        dead in-span chunks (~25% of drain time on the incoherent
+        workload, scripts/drain_cost_model.py)."""
+        def cond(w):
+            return w != 0
+
+        def body(w):
+            b = w & (-w)
+            visit(base_c + _bit_index16(b))
+            return w & (w - 1)
+
+        jax.lax.while_loop(cond, body, word0)
 
     # ---- drain: one matmul + elementwise merge per ray chunk ---------------
     def _merge_hits(prod, off, cur_t, cur_c):
@@ -315,24 +352,6 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
         else:
             feat = blocks[slot]                            # [KDIM, 5*cols]
 
-        def drain_chunk(c, _):
-            live = (qmask[slot, c >> 4] >> (c & 15)) & 1
-            if STREAM_FULLDRAIN:
-                live = jnp.int32(1)
-
-            @pl.when(live == 1)
-            def _():
-                _drain_one(c, feat)
-
-            return 0
-
-        if STREAM_FULLDRAIN:
-            span_lo = jnp.int32(0)
-            span_hi = jnp.int32(NCHUNK - 1)
-        else:
-            span_lo = qmask[slot, NMASKW]
-            span_hi = qmask[slot, NMASKW + 1]
-
         def _drain_one(c, feat):
             rf = rayfeat[:, pl.ds(pl.multiple_of(c * LANES, LANES),
                                   LANES)]       # [KDIM, 128]
@@ -358,7 +377,27 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             _occ_update(c, new_t)
             return 0
 
-        jax.lax.fori_loop(span_lo, span_hi + 1, drain_chunk, 0)
+        if STREAM_FULLDRAIN:
+            jax.lax.fori_loop(
+                0, NCHUNK, lambda c, _: _drain_one(c, feat), 0)
+        elif STREAM_SKIP == "word":
+            for w in range(NMASKW):
+                _for_set_bits(qmask[slot, w], w << 4,
+                              lambda c: _drain_one(c, feat))
+        else:
+            span_lo = qmask[slot, NMASKW]
+            span_hi = qmask[slot, NMASKW + 1]
+
+            def drain_chunk(c, _):
+                live = (qmask[slot, c >> 4] >> (c & 15)) & 1
+
+                @pl.when(live == 1)
+                def _():
+                    _drain_one(c, feat)
+
+                return 0
+
+            jax.lax.fori_loop(span_lo, span_hi + 1, drain_chunk, 0)
 
     def drain_multi(qhead, n):
         """Aggregated drain: ``n`` ready ring slots in ONE MXU pass per
@@ -408,24 +447,32 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             _occ_update(c, t_c)
             return 0
 
-        def drain_chunk(c, _):
-            word = qmask[slots[0], c >> 4]
+        def _or_word(w):
+            word = qmask[slots[0], w]
             for s in slots[1:]:
-                word = word | qmask[s, c >> 4]
-            live = (word >> (c & 15)) & 1
+                word = word | qmask[s, w]
+            return word
 
-            @pl.when(live == 1)
-            def _():
-                _drain_group(c, feat)
+        if STREAM_SKIP == "word":
+            for w in range(NMASKW):
+                _for_set_bits(_or_word(w), w << 4,
+                              lambda c: _drain_group(c, feat))
+        else:
+            def drain_chunk(c, _):
+                live = (_or_word(c >> 4) >> (c & 15)) & 1
 
-            return 0
+                @pl.when(live == 1)
+                def _():
+                    _drain_group(c, feat)
 
-        span_lo = qmask[slots[0], NMASKW]
-        span_hi = qmask[slots[0], NMASKW + 1]
-        for s in slots[1:]:
-            span_lo = jnp.minimum(span_lo, qmask[s, NMASKW])
-            span_hi = jnp.maximum(span_hi, qmask[s, NMASKW + 1])
-        jax.lax.fori_loop(span_lo, span_hi + 1, drain_chunk, 0)
+                return 0
+
+            span_lo = qmask[slots[0], NMASKW]
+            span_hi = qmask[slots[0], NMASKW + 1]
+            for s in slots[1:]:
+                span_lo = jnp.minimum(span_lo, qmask[s, NMASKW])
+                span_hi = jnp.maximum(span_hi, qmask[s, NMASKW + 1])
+            jax.lax.fori_loop(span_lo, span_hi + 1, drain_chunk, 0)
 
     # ---- node phase: pop SMEM nodes, DMA fat-leaf children -----------------
     def node_phase(carry):
@@ -438,8 +485,8 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             node = stack[sp - 1]
             sp = sp - 1
 
-            near_a = box_test(node, 0, cap_plane())
-            near_b = box_test(node, 6, cap_plane())
+            near_a, live_a = box_test(node, 0, cap_plane())
+            near_b, live_b = box_test(node, 6, cap_plane())
             any_a = near_a < INF
             any_b = near_b < INF
 
@@ -485,7 +532,7 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
                 cp.start()
                 if STREAM_SYNCDMA:
                     cp.wait()
-                write_masks(node, 0, slot_a)
+                write_masks(live_a, slot_a)
 
             @pl.when(enq_b)
             def _():
@@ -496,7 +543,7 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
                 cp.start()
                 if STREAM_SYNCDMA:
                     cp.wait()
-                write_masks(node, 6, slot_b)
+                write_masks(live_b, slot_b)
 
             qcount = qcount + enq_a.astype(jnp.int32) + enq_b.astype(jnp.int32)
             return sp, qhead, qcount

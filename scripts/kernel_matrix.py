@@ -154,13 +154,18 @@ def main():
         soup = cluster_scene(200_000)
         bvh = build_bvh(soup)
         ga = ga_pack(bvh, soup)
-        p1 = {k: jnp.asarray(v) for k, v in ts1.pack_stream(bvh, soup).items()}
         p2 = {k: jnp.asarray(v)
               for k, v in ts2.pack_stream2(bvh, soup).items()}
-        fn1 = jax.jit(lambda o, d, pk: ts1.intersect_stream(
-            o, d, pk, sort=True))
-        measure("stream1_200k", fn1, p1, ga)
-        for agg, tag in ((False, "stream2_200k"), (True, "stream2_agg2"),
+        if os.environ.get("MATRIX_STREAM1") == "1":  # fenced kernel:
+            # measure only on explicit request (round-4 rows stand)
+            p1 = {k: jnp.asarray(v)
+                  for k, v in ts1.pack_stream(bvh, soup).items()}
+            fn1 = jax.jit(lambda o, d, pk: ts1.intersect_stream(
+                o, d, pk, sort=True))
+            measure("stream1_200k", fn1, p1, ga)
+        skip = ts2.STREAM_SKIP  # env-driven word/span A/B rows
+        for agg, tag in ((False, f"stream2_200k_{skip}"),
+                         (True, "stream2_agg2"),
                          (4, "stream2_agg4")):
             fn2 = jax.jit(lambda o, d, pk, agg=agg: ts2.intersect_stream2(
                 o, d, pk, sort=True, agg=agg))
@@ -181,6 +186,33 @@ def main():
         fn2 = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
             o, d, pk, sort=True))
         measure(tag, fn2, p2, ga)
+
+    elif SECTION == "r5_47k":
+        # round-5 mid-size decision data: at 47k tris (dragon scale) —
+        # pallas2 (the production path), stream2 (the candidate), and
+        # under CLIVE2_PALLAS_DIAG=noleaf the pallas2 walk WITHOUT the
+        # leaf phase (node/leaf cost split; results corrupt, so the
+        # oracle gate is skipped).  Env-driven variants (skip mode,
+        # diag) re-invoke this section in fresh processes.
+        from clive2_tpu.ops import traverse_pallas2 as tp2
+        from clive2_tpu.ops import traverse_stream2 as ts2
+
+        diag = os.environ.get("CLIVE2_PALLAS_DIAG", "")
+        soup = cluster_scene(47_000, seed=3)
+        bvh = build_bvh(soup)
+        ga = None if diag else ga_pack(bvh, soup)
+        packed = {k: jnp.asarray(v)
+                  for k, v in tp2.pack_bvh2(bvh, soup).items()}
+        fn = jax.jit(lambda o, d, pk: tp2.intersect_pallas2(
+            o, d, pk, sort=True))
+        measure(f"pallas2_47k{'_' + diag if diag else ''}",
+                fn, packed, ga)
+        if not diag:
+            p2 = {k: jnp.asarray(v)
+                  for k, v in ts2.pack_stream2(bvh, soup).items()}
+            fn2 = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
+                o, d, pk, sort=True))
+            measure(f"stream2_47k_{ts2.STREAM_SKIP}", fn2, p2, ga)
 
     elif SECTION == "sponza":
         from clive2_tpu.load import load_ply
