@@ -60,24 +60,73 @@ QUAD = int(os.environ.get("CLIVE2_QUAD_POP", 4))
 #             traversal-bound on this kernel but not WHERE inside it)
 PALLAS_DIAG = os.environ.get("CLIVE2_PALLAS_DIAG", "")
 
+# Leaf-phase execution policy.  "all" (the round-4 shipping behavior)
+# runs the transposed MT for every ray row of the packet at every leaf
+# visit — measured 67% of incoherent traversal time at 47k tris
+# (docs/kernel_matrix_r05a.log: full 1118.6 ms vs noleaf 364.6 ms per
+# 1M rays) because the packet UNION visits a leaf whenever any one row
+# needs it.  "rows" gates the leaf MT per ray row: the leaf child's
+# box-hit mask (already computed by the node phase) packs into 16-row
+# bit words and only the set bits run — dead rows cost zero iterations
+# (for_set_bits).  Gating per ROW, not per (group, visit) lax.cond,
+# dodges the round-4 anti-pattern: the round-3 per-group gate paid a
+# scalar branch on every group including dead ones.
+def _leaf_mode():
+    from ..utils.tuned import tuned_default
+
+    return (os.environ.get("CLIVE2_PALLAS_LEAF")
+            or tuned_default("pallas_leaf", "all"))
+
+
+PALLAS_LEAF = _leaf_mode()
+
 # max packets per pallas_call: one kernel launch must stay well under the
 # TPU per-launch watchdog (see traverse_stream.MAX_BLOCKS_PER_CALL for the
 # measured failure).  2048 packets = 2M rays ~ a few hundred ms here.
 MAX_BLOCKS_PER_CALL = int(os.environ.get("CLIVE2_PALLAS_MAX_BLOCKS", 2048))
 
 
-def _make_kernel(any_hit: bool):
+def bit_index16(b):
+    """Index of the single set bit of a 16-bit one-hot word, in
+    branch-free scalar ops (no reliance on Mosaic lowering clz/popcount
+    on the scalar core)."""
+    i = jnp.where((b & jnp.int32(0xFF00)) != 0, jnp.int32(8), jnp.int32(0))
+    i = i | jnp.where((b & jnp.int32(0xF0F0)) != 0, 4, 0)
+    i = i | jnp.where((b & jnp.int32(0xCCCC)) != 0, 2, 0)
+    i = i | jnp.where((b & jnp.int32(0xAAAA)) != 0, 1, 0)
+    return i
+
+
+def for_set_bits(word0, base, visit):
+    """Run ``visit(base + i)`` for every set bit i of ``word0`` (a 16-bit
+    mask word).  Dead bits cost zero loop iterations — the shared
+    skip-dead-work primitive of the streaming drain and the gated packet
+    leaf phase."""
+    def cond(w):
+        return w != 0
+
+    def body(w):
+        b = w & (-w)
+        visit(base + bit_index16(b))
+        return w & (w - 1)
+
+    jax.lax.while_loop(cond, body, word0)
+
+
+def _make_kernel(any_hit: bool, leaf_mode: str):
     """Kernel factory.  ``any_hit`` compiles the shadow-ray variant: rays
     that have recorded ANY hit drop out of the box-test union, so packets
     over occluded connection segments terminate at the first occluder
     instead of refining to the closest one (the caller must cap ``t_max``
     strictly below the target so every recordable hit is a true occluder;
-    see integrator/connect.py stage A)."""
-    return functools.partial(_kernel, any_hit)
+    see integrator/connect.py stage A).  ``leaf_mode`` selects the leaf
+    phase: "all" rows or gated "rows" (see PALLAS_LEAF)."""
+    return functools.partial(_kernel, any_hit, leaf_mode)
 
 
-def _kernel(any_hit, nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
-            out_t, out_i, out_u, out_v, stack):
+def _kernel(any_hit, leaf_mode, nodebox, childs, leaff,
+            ox, oy, oz, dx, dy, dz, act, tm,
+            out_t, out_i, out_u, out_v, stack, boxm):
     tiny = jnp.float32(1e-30)
 
     def inv(d):
@@ -88,6 +137,9 @@ def _kernel(any_hit, nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
     active = act[:] > 0.0
+    # row-index plane + 16-row mask word count (gated leaf phase)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (RAY_ROWS, LANES), 0)
+    ROWW = (RAY_ROWS + 15) // 16
 
     def box_test(node, base, bt, alive):
         """Returns (hit mask, per-ray entry distance; +inf where missed)."""
@@ -134,18 +186,12 @@ def _kernel(any_hit, nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
         e2x, e2y, e2z = col(6), col(7), col(8)
         tri_f = col(9)
 
-        # all 8 ray-groups run unconditionally: a per-group lax.cond skip
-        # was measured neutral-to-negative (the scalar branch costs as
-        # much as the skipped vector MT) and it blocks instruction overlap
-        for g in range(RAY_ROWS):
-            row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
-                                             (SUBLANES, LANES))
-            rox, roy, roz = row(o_x), row(o_y), row(o_z)
-            rdx, rdy, rdz = row(d_x), row(d_y), row(d_z)
-            rhit = row(box_hit.astype(jnp.float32)) > 0.0
-            rbt_row = out_t[g:g + 1, :]                    # [1, 128]
+        def mt_row(g, rox, roy, roz, rdx, rdy, rdz, rhit, rbt_row):
+            """Transposed MT for one ray row: 8 leaf triangles
+            (sublanes) x 128 rays (lanes), best-hit folded into the
+            output refs at row ``g`` (static OR traced — dynamic
+            sublane indexing is Mosaic-legal)."""
             rbt = jnp.broadcast_to(rbt_row, (SUBLANES, LANES))
-
             hx = rdy * e2z - rdz * e2y
             hy = rdz * e2x - rdx * e2z
             hz = rdx * e2y - rdy * e2x
@@ -173,9 +219,9 @@ def _kernel(any_hit, nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
                 axis=0, keepdims=True
             )
             sel_i = pick(tri_f)
-            out_t[g:g + 1, :] = jnp.where(found, tmin, rbt_row)
-            out_i[g:g + 1, :] = jnp.where(
-                found, sel_i.astype(jnp.int32), out_i[g:g + 1, :])
+            out_t[pl.ds(g, 1), :] = jnp.where(found, tmin, rbt_row)
+            out_i[pl.ds(g, 1), :] = jnp.where(
+                found, sel_i.astype(jnp.int32), out_i[pl.ds(g, 1), :])
             if not any_hit:
                 # shadow casts never read u/v — skipping the two pick
                 # chains and, more importantly, the two serialized
@@ -184,10 +230,44 @@ def _kernel(any_hit, nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
                 # what that RMW pattern costs)
                 sel_u = pick(jnp.where(is_best, u, 0.0))
                 sel_v = pick(jnp.where(is_best, v, 0.0))
-                out_u[g:g + 1, :] = jnp.where(found, sel_u,
-                                              out_u[g:g + 1, :])
-                out_v[g:g + 1, :] = jnp.where(found, sel_v,
-                                              out_v[g:g + 1, :])
+                out_u[pl.ds(g, 1), :] = jnp.where(found, sel_u,
+                                                  out_u[pl.ds(g, 1), :])
+                out_v[pl.ds(g, 1), :] = jnp.where(found, sel_v,
+                                                  out_v[pl.ds(g, 1), :])
+
+        if leaf_mode == "rows":
+            # gated: only ray rows whose box-hit mask is non-empty run
+            # the MT — at tall packets the union visits a leaf for a
+            # handful of rows, and the all-rows loop pays the full
+            # RAY_ROWS everywhere (67% of incoherent traversal time at
+            # 47k, docs/kernel_matrix_r05a.log).  The mask parks in
+            # VMEM scratch so the traced row index can re-read it.
+            boxm[:, :] = box_hit.astype(jnp.float32)
+
+            def leaf_row(g):
+                row = lambda ref: jnp.broadcast_to(
+                    ref[pl.ds(g, 1), :], (SUBLANES, LANES))
+                mt_row(g, row(ox), row(oy), row(oz),
+                       row(dx), row(dy), row(dz),
+                       row(boxm) > 0.0, out_t[pl.ds(g, 1), :])
+
+            bit = jnp.where(box_hit, jnp.int32(1) << (rowi & 15),
+                            jnp.int32(0))
+            for w in range(ROWW):
+                word = jnp.sum(
+                    jnp.max(jnp.where((rowi >> 4) == w, bit, 0), axis=1))
+                for_set_bits(word, w << 4, leaf_row)
+        else:
+            # all rows unconditionally: a per-GROUP lax.cond skip was
+            # measured neutral-to-negative in round 3 (scalar branch
+            # per group including dead ones) and it blocks overlap
+            for g in range(RAY_ROWS):
+                row = lambda a: jnp.broadcast_to(a[g:g + 1, :],
+                                                 (SUBLANES, LANES))
+                mt_row(g, row(o_x), row(o_y), row(o_z),
+                       row(d_x), row(d_y), row(d_z),
+                       row(box_hit.astype(jnp.float32)) > 0.0,
+                       out_t[g:g + 1, :])
 
     stack[0] = 0
     # outputs double as best-hit accumulators; best-t starts at the
@@ -280,9 +360,12 @@ def _kernel(any_hit, nodebox, childs, leaff, ox, oy, oz, dx, dy, dz, act, tm,
     jax.lax.while_loop(cond, body, jnp.int32(1))
 
 
-@functools.partial(jax.jit, static_argnames=("n_blocks", "any_hit"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_blocks", "any_hit", "interpret",
+                                    "leaf_mode"))
 def _traverse_blocks(nodebox, childs, leaff, rays, n_blocks: int,
-                     any_hit: bool = False):
+                     any_hit: bool = False, interpret: bool = False,
+                     leaf_mode: str = "all"):
     plane = lambda: pl.BlockSpec(
         (RAY_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -294,7 +377,7 @@ def _traverse_blocks(nodebox, childs, leaff, rays, n_blocks: int,
         jax.ShapeDtypeStruct(shape, jnp.float32),
     ]
     return pl.pallas_call(
-        _make_kernel(any_hit),
+        _make_kernel(any_hit, leaf_mode),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -303,7 +386,13 @@ def _traverse_blocks(nodebox, childs, leaff, rays, n_blocks: int,
         ] + [plane()] * 8,
         out_specs=[plane()] * 4,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            # leaf box-hit mask parking spot: the gated leaf phase's
+            # traced row index must re-read per-row slices of the mask
+            pltpu.VMEM((RAY_ROWS, LANES), jnp.float32),
+        ],
+        interpret=interpret,
     )(nodebox, childs, leaff,
       rays["ox"], rays["oy"], rays["oz"],
       rays["dx"], rays["dy"], rays["dz"], rays["act"], rays["tm"])
@@ -372,7 +461,8 @@ def _morton_key(origin, direction, lo, hi, active=None):
 
 
 def intersect_pallas2(origin, direction, packed, active=None, sort=False,
-                      t_max=None, any_hit=False):
+                      t_max=None, any_hit=False, interpret=False,
+                      leaf_mode=None):
     """Closest hit via the v2 packet kernel; same contract as
     intersect_bvh.  ``sort`` reorders rays by octant+Morton for packet
     coherence and scatters results back.  ``t_max`` ([N] f32, optional)
@@ -393,8 +483,10 @@ def intersect_pallas2(origin, direction, packed, active=None, sort=False,
             origin[order], direction[order], packed,
             active=None if active is None else active[order], sort=False,
             t_max=None if t_max is None else t_max[order], any_hit=any_hit,
+            interpret=interpret, leaf_mode=leaf_mode,
         )
         return i[inv], t[inv], u[inv], v[inv]
+    leaf_mode = PALLAS_LEAF if leaf_mode is None else leaf_mode
 
     n = origin.shape[0]
     n_pad = max(BLOCK_RAYS, ((n + BLOCK_RAYS - 1) // BLOCK_RAYS) * BLOCK_RAYS)
@@ -426,7 +518,7 @@ def intersect_pallas2(origin, direction, packed, active=None, sort=False,
         outs = jax.lax.map(
             lambda r: _traverse_blocks(
                 packed["nodebox"], packed["childs"], packed["leaff"], r, cap,
-                any_hit=any_hit,
+                any_hit=any_hit, interpret=interpret, leaf_mode=leaf_mode,
             ),
             stacked,
         )
@@ -434,7 +526,8 @@ def intersect_pallas2(origin, direction, packed, active=None, sort=False,
     else:
         t, i, u, v = _traverse_blocks(
             packed["nodebox"], packed["childs"], packed["leaff"], rays,
-            n_blocks, any_hit=any_hit,
+            n_blocks, any_hit=any_hit, interpret=interpret,
+            leaf_mode=leaf_mode,
         )
     reshape = lambda a: a.reshape(n_pad)[:n]
     i = reshape(i)

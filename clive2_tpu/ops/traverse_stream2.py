@@ -23,18 +23,18 @@ against the direct formulas):
     t_n = r . [0, 0, n, -v0.n]            u, v, t = (u_n, v_n, t_n) / a
 
 so one transposed-lhs MXU matmul per ray chunk per fat-leaf block —
-dot_general([K, 5*cols], [K, 128 rays], contracting dim 0 with dim 0)
--> [5*cols, 128] — performs 16,384+ ray-triangle tests' worth of
+dot_general([K, 4*cols], [K, 128 rays], contracting dim 0 with dim 0)
+-> [4*cols, 128] — performs 16,384+ ray-triangle tests' worth of
 cross/dot products, followed by a dozen fully-pipelined elementwise
 [128, 128] ops.  Both operands are K-MAJOR: the fat-leaf blocks are
-stored [n_fat, K, 5*cols] so the per-leaf HBM DMA slice is
-[K=64 sublanes, 5*128 lanes] — lane-dim 128-aligned, which Mosaic
-REQUIRES (the round-3 tri-major [5*cols, K=64] layout put K in lanes
+stored [n_fat, K, 4*cols] so the per-leaf HBM DMA slice is
+[K=64 sublanes, 4*128 lanes] — lane-dim 128-aligned, which Mosaic
+REQUIRES (the round-3 tri-major [G*cols, K=64] layout put K in lanes
 and died at hardware compile with "Slice shape along dimension 2 must
 be aligned to tiling (128)"; 2026-08-20 probes: the transposed DMA and
 the transposed-lhs dot both compile, scripts/probe_mosaic_layouts.py).
 K-major also halves the ring slot's physical VMEM (a [*, 64]-lane
-array is padded to 128 lanes; [64, 640] pads nothing).  The operands
+array is padded to 128 lanes; [64, 512] pads nothing).  The operands
 carry a bf16x6 residual split stacked along K=64 (6 sections of
 the 10 live feature columns + 4 zero pad; one padded MXU pass, ~f32
 accuracy — see build_rayfeat for why plain bf16x3 let near-parallel
@@ -65,7 +65,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import DELTA
-from .traverse_pallas2 import _morton_key
+from .traverse_pallas2 import _morton_key, for_set_bits
 from ..utils.tuned import tuned_default
 from .traverse_stream import (
     MAX_BLOCKS_PER_CALL,
@@ -144,6 +144,18 @@ assert RAY_ROWS % SUBLANES == 0
 BLOCK_RAYS = RAY_ROWS * LANES          # rays per packet
 NCHUNK = BLOCK_RAYS // LANES           # 128-ray matmul chunks per packet
 NMASKW = (NCHUNK + 15) // 16           # 16-bit chunk-mask words per slot
+# Best-hit accumulator layout.  "full" (round-4 shipping) keeps per
+# (tri-slot-row, ray-lane) state [NCHUNK, cols, 128] and folds once per
+# packet — elementwise merges, but every live chunk-visit reads+writes
+# 4x [cols, 128] f32 of VMEM.  "row" reduces each drain product to one
+# [1, 128] best row immediately (sublane min + is-best max) so the
+# accumulator is [NCHUNK, 128] x2 — 256x less accumulator traffic per
+# visit and ~4 MB of VMEM scratch freed (headroom for deeper
+# rings/taller packets), at the cost of two cross-sublane reduces per
+# visit.  A/B knob; tuned key stream2_acc.
+STREAM_ACC = (os.environ.get("CLIVE2_STREAM_ACC")
+              or tuned_default("stream2_acc", "full"))
+assert STREAM_ACC in ("full", "row"), "CLIVE2_STREAM_ACC must be full|row"
 FEAT = 16                              # base ray/tri feature rows (10 used)
 LIVE = 10                              # live feature columns per section
 KDIM = 64                              # contracted dim: 6 bf16x6 sections of
@@ -155,7 +167,16 @@ KDIM = 64                              # contracted dim: 6 bf16x6 sections of
                                        # incoherent wavefronts on 1M-tri
                                        # scenes are HBM-BW-capped, so bytes
                                        # are throughput)
-GROUPS = 5                             # a | u_num | v_num | t_num | code
+GROUPS = 4                             # a | u_num | v_num | t_num.  The
+                                       # round-4 layout carried a 5th
+                                       # "code" group (fat-block id x the
+                                       # ray's constant-1 feature) through
+                                       # the matmul; the id is a per-BLOCK
+                                       # scalar, so it now rides an SMEM
+                                       # side table written at enqueue
+                                       # (qleaf) — 20% fewer fat-leaf DMA
+                                       # bytes and 20% fewer MACs per
+                                       # drain for free
 SUB_SLOTS = 8                          # triangles per SAH leaf
 INF = float("inf")
 
@@ -170,11 +191,11 @@ def _make_kernel(n_fat_cols: int, any_hit: bool = False, agg: int = 1):
 def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             ox, oy, oz, dx, dy, dz, tm,
             out_t, out_code,
-            stack, qmask, acc_t, acc_c, blocks, staged, btcur, sem):
+            stack, qmask, qleaf, acc_t, acc_c, blocks, staged, btcur, sem):
     """cols = triangles per fat leaf (128 * blocks_per_leaf).
 
     Orientation: RAYS LIVE IN LANES THROUGHOUT.  The drain matmul is
-    [5*cols tri-rows, K] @ [K, 128 rays] so its output, the per-chunk
+    [4*cols tri-rows, K] @ [K, 128 rays] so its output, the per-chunk
     accumulators ([cols, 128]), the fold (a sublane min-reduce straight
     to a [1, 128] row), the output planes, and the ox..tm input planes
     (row c = chunk c's 128 rays) all share one layout — no transposed
@@ -195,14 +216,22 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
     # lax.fori_loops, NOT Python-unrolled: at NCHUNK=32 an unrolled drain
     # multiplied the Mosaic program ~32x and pushed remote compiles to
     # ~8 minutes.
-    def init_chunk(c, _):
-        tm_row = tm[pl.ds(c, 1), :]                          # [1, 128]
-        acc_t[c] = jnp.broadcast_to(tm_row, (cols, LANES))
-        acc_c[c] = jnp.full((cols, LANES), -1.0, dtype=jnp.float32)
-        return 0
+    if STREAM_ACC == "row":
+        acc_t[:, :] = tm[:]
+        acc_c[:, :] = jnp.full((NCHUNK, LANES), -1.0, dtype=jnp.float32)
+    else:
+        def init_chunk(c, _):
+            tm_row = tm[pl.ds(c, 1), :]                      # [1, 128]
+            acc_t[c] = jnp.broadcast_to(tm_row, (cols, LANES))
+            acc_c[c] = jnp.full((cols, LANES), -1.0, dtype=jnp.float32)
+            return 0
 
-    jax.lax.fori_loop(0, NCHUNK, init_chunk, 0)
+        jax.lax.fori_loop(0, NCHUNK, init_chunk, 0)
     btcur[:, :] = tm[:]
+    # absolute slot codes are fat_id * cols + tri-slot-row; the row plane
+    # is a compile-time iota shared by every drain
+    srow = jax.lax.broadcasted_iota(
+        jnp.int32, (cols, LANES), 0).astype(jnp.float32)
 
     def cap_plane():
         return btcur[:] if STREAM_OCC else bt0
@@ -274,59 +303,68 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             qmask[slot, NMASKW + 1] = jnp.max(
                 jnp.where(live, rowi, jnp.int32(-1)))
 
-    def _bit_index16(b):
-        """Index of the single set bit of a 16-bit one-hot word, in
-        branch-free scalar ops (no reliance on Mosaic lowering clz /
-        popcount on the scalar core)."""
-        i = jnp.where((b & jnp.int32(0xFF00)) != 0, jnp.int32(8),
-                      jnp.int32(0))
-        i = i | jnp.where((b & jnp.int32(0xF0F0)) != 0, 4, 0)
-        i = i | jnp.where((b & jnp.int32(0xCCCC)) != 0, 2, 0)
-        i = i | jnp.where((b & jnp.int32(0xAAAA)) != 0, 1, 0)
-        return i
+    # word-granular set-bit iteration: dead chunks cost zero loop
+    # iterations — the round-4 span scan paid a mask read + branch for
+    # each of 10.4M dead in-span chunks on the incoherent workload
+    # (scripts/drain_cost_model.py).  Shared with the packet kernel's
+    # gated leaf phase.
+    _for_set_bits = for_set_bits
 
-    def _for_set_bits(word0, base_c, visit):
-        """Run ``visit(c)`` for chunk index c of every set bit of
-        ``word0`` (a 16-bit mask word covering chunks [base_c,
-        base_c+16)).  Dead chunks cost zero loop iterations — the
-        round-4 span scan paid a mask read + branch for each of 10.4M
-        dead in-span chunks (~25% of drain time on the incoherent
-        workload, scripts/drain_cost_model.py)."""
-        def cond(w):
-            return w != 0
-
-        def body(w):
-            b = w & (-w)
-            visit(base_c + _bit_index16(b))
-            return w & (w - 1)
-
-        jax.lax.while_loop(cond, body, word0)
-
-    # ---- drain: one matmul + elementwise merge per ray chunk ---------------
-    def _merge_hits(prod, off, cur_t, cur_c):
-        """Fold one block's 5 output groups (rows [off, off+5*cols) of the
-        drain product) into the per-(tri-slot-row, ray-lane) best state."""
+    # ---- drain: one matmul + window + merge per live ray chunk -------------
+    def _window(prod, off, cur_t):
+        """Möller-Trumbore acceptance from one block's 4 product groups
+        (rows [off, off+4*cols)): returns (ok, t).  The barycentric
+        window uses the min form — min(u, v, 1-u-v) >= 0 is equivalent
+        to the four separate comparisons (u <= 1 is implied by v >= 0
+        and u+v <= 1) in 3 fewer [cols, 128] ops, and NaN from empty
+        slots (a = 0) propagates through min to a False compare."""
         a = prod[off + 0 * cols:off + 1 * cols, :]
         u_n = prod[off + 1 * cols:off + 2 * cols, :]
         v_n = prod[off + 2 * cols:off + 3 * cols, :]
         t_n = prod[off + 3 * cols:off + 4 * cols, :]
-        code = prod[off + 4 * cols:off + 5 * cols, :]
         f = 1.0 / a
         u = u_n * f
         v = v_n * f
         t = t_n * f
-        ok = (
-            (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (t > DELTA) & (t < cur_t)
-        )
+        m = jnp.minimum(u, jnp.minimum(v, 1.0 - u - v))
+        ok = (m >= 0.0) & (t > DELTA) & (t < cur_t)
+        return ok, t
+
+    def _merge_hits(prod, off, fat_id, cur_t, cur_c):
+        """Elementwise (full-acc) merge into per-(tri-slot-row, ray-lane)
+        best state; codes are absolute (fat_id * cols + row)."""
+        ok, t = _window(prod, off, cur_t)
+        code = fat_id.astype(jnp.float32) * float(cols) + srow
         return jnp.where(ok, t, cur_t), jnp.where(ok, code, cur_c)
+
+    def _merge_row(prod, off, fat_id, c):
+        """Row-acc merge: reduce this block's candidates for chunk ``c``
+        to one [1, 128] best row and fold it into acc rows — the
+        accumulator traffic drops from 4x [cols, 128] to [1, 128]s."""
+        cur_row = acc_t[pl.ds(c, 1), :]                      # [1, 128]
+        cur = jnp.broadcast_to(cur_row, (cols, LANES))
+        ok, t = _window(prod, off, cur)
+        tsel = jnp.where(ok, t, INF)
+        t_red = jnp.min(tsel, axis=0, keepdims=True)         # [1, 128]
+        found = t_red < cur_row
+        is_best = (tsel == jnp.broadcast_to(t_red, tsel.shape)) & ok
+        code = fat_id.astype(jnp.float32) * float(cols) + srow
+        code_red = jnp.max(jnp.where(is_best, code, -1.0),
+                           axis=0, keepdims=True)
+        new_row = jnp.where(found, t_red, cur_row)
+        acc_t[pl.ds(c, 1), :] = new_row
+        acc_c[pl.ds(c, 1), :] = jnp.where(found, code_red,
+                                          acc_c[pl.ds(c, 1), :])
+        return new_row
 
     def _occ_update(c, new_t):
         if STREAM_OCC:
             # refresh the occlusion plane: this chunk's current best
             # (NaN-safe: empty slots yield NaN products, masked out
-            # of new_t by the ok-comparisons, so the reduce is clean)
-            row_min = jnp.min(new_t, axis=0, keepdims=True)
+            # of new_t by the ok-comparisons, so the reduce is clean);
+            # row-acc merges already arrive reduced to [1, 128]
+            row_min = (new_t if new_t.shape[0] == 1
+                       else jnp.min(new_t, axis=0, keepdims=True))
             if any_hit:
                 # first-occluder termination (shadow rays — the
                 # dominant BDPT ray population): once ANY genuine
@@ -348,32 +386,36 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             return
         if STREAM_STAGE:
             staged[:, :] = blocks[slot]
-            feat = staged[:, :]                            # [KDIM, 5*cols]
+            feat = staged[:, :]                            # [KDIM, G*cols]
         else:
-            feat = blocks[slot]                            # [KDIM, 5*cols]
+            feat = blocks[slot]                            # [KDIM, G*cols]
+        fat_id = qleaf[slot]
 
         def _drain_one(c, feat):
             rf = rayfeat[:, pl.ds(pl.multiple_of(c * LANES, LANES),
                                   LANES)]       # [KDIM, 128]
-            # ONE transposed-lhs matmul per chunk covers all five output
-            # groups (the block's 5*cols columns are contiguous),
+            # ONE transposed-lhs matmul per chunk covers all four output
+            # groups (the block's 4*cols columns are contiguous),
             # amortizing the MXU's fixed per-dot latency: contracting
             # feat dim 0 with rf dim 0 keeps BOTH operands K-major (the
             # DMA-aligned layout) with the transpose folded into the
             # MXU pass.  Precision comes from the operand layout, not
             # the pass count: both sides carry the bf16x6 residual
             # split stacked along K (see STREAM_PREC note at the top).
-            # Group 4 carries the fat-BLOCK id (exact — its ray-side
-            # factor is the constant 1.0); the global slot is
-            # reconstructed in the fold, and the winner's t/u/v are
-            # re-derived exactly by the XLA wrapper.
+            # The fat-block id rides the qleaf SMEM table (written at
+            # enqueue), and the winner's t/u/v are re-derived exactly
+            # by the XLA wrapper.
             prod = jax.lax.dot_general(
                 feat, rf, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=STREAM_PREC)                     # [5*cols, 128]
-            new_t, new_c = _merge_hits(prod, 0, acc_t[c], acc_c[c])
-            acc_t[c] = new_t
-            acc_c[c] = new_c
+                precision=STREAM_PREC)                     # [4*cols, 128]
+            if STREAM_ACC == "row":
+                new_t = _merge_row(prod, 0, fat_id, c)
+            else:
+                new_t, new_c = _merge_hits(prod, 0, fat_id,
+                                           acc_t[c], acc_c[c])
+                acc_t[c] = new_t
+                acc_c[c] = new_c
             _occ_update(c, new_t)
             return 0
 
@@ -401,7 +443,7 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
 
     def drain_multi(qhead, n):
         """Aggregated drain: ``n`` ready ring slots in ONE MXU pass per
-        live chunk ([n*5*cols, K] @ [K, 128]) — amortizes the
+        live chunk ([n*4*cols, K] @ [K, 128]) — amortizes the
         per-chunk-visit fixed cost (mask word read, fori bookkeeping,
         acc_t/acc_c read-modify-write, matmul issue latency) across n
         fat-leaf blocks.  Per-row dot products are independent, so each
@@ -430,7 +472,8 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
         if STREAM_DIAG == "nodrain":
             return
         feat = jnp.concatenate(
-            [blocks[s] for s in slots], axis=1)            # [KDIM, n*5*cols]
+            [blocks[s] for s in slots], axis=1)            # [KDIM, n*G*cols]
+        fats = [qleaf[s] for s in slots]
 
         def _drain_group(c, feat):
             rf = rayfeat[:, pl.ds(pl.multiple_of(c * LANES, LANES),
@@ -438,13 +481,21 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
             prod = jax.lax.dot_general(
                 feat, rf, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=STREAM_PREC)                     # [n*5*cols, 128]
-            t_c, c_c = acc_t[c], acc_c[c]
-            for k in range(n):
-                t_c, c_c = _merge_hits(prod, k * GROUPS * cols, t_c, c_c)
-            acc_t[c] = t_c
-            acc_c[c] = c_c
-            _occ_update(c, t_c)
+                precision=STREAM_PREC)                     # [n*G*cols, 128]
+            if STREAM_ACC == "row":
+                new_t = None
+                for k in range(n):
+                    new_t = _merge_row(prod, k * GROUPS * cols,
+                                       fats[k], c)
+            else:
+                t_c, c_c = acc_t[c], acc_c[c]
+                for k in range(n):
+                    t_c, c_c = _merge_hits(prod, k * GROUPS * cols,
+                                           fats[k], t_c, c_c)
+                acc_t[c] = t_c
+                acc_c[c] = c_c
+                new_t = t_c
+            _occ_update(c, new_t)
             return 0
 
         def _or_word(w):
@@ -532,6 +583,7 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
                 cp.start()
                 if STREAM_SYNCDMA:
                     cp.wait()
+                qleaf[slot_a] = -(ca + 1)
                 write_masks(live_a, slot_a)
 
             @pl.when(enq_b)
@@ -543,6 +595,7 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
                 cp.start()
                 if STREAM_SYNCDMA:
                     cp.wait()
+                qleaf[slot_b] = -(cb + 1)
                 write_masks(live_b, slot_b)
 
             qcount = qcount + enq_a.astype(jnp.int32) + enq_b.astype(jnp.int32)
@@ -600,30 +653,32 @@ def _kernel(cols, any_hit, agg, nodebox, childs, leafblocks, rayfeat,
     )
 
     # ---- fold: one winner per ray — a SUBLANE min-reduce per chunk ---------
-    # acc_c holds the winning fat-BLOCK id per (tri-slot-row, ray-lane);
-    # the global slot is fat_id * cols + slot_row, reconstructed here in
-    # exact f32 VPU arithmetic (total slots < 2^24).  The [1, 128] result
-    # rows store straight into the plane-layout outputs at dynamic
-    # SUBLANE offset c (dynamic sublane indexing is legal; dynamic LANE
-    # indexing is not — which is what forced the old rays-in-sublanes
-    # orientation through a [128, 128] iota-select carry).
-    srow = jax.lax.broadcasted_iota(
-        jnp.int32, (cols, LANES), 0).astype(jnp.float32)
+    # acc_c holds ABSOLUTE slot codes (fat_id * cols + tri-slot-row, in
+    # exact f32 — pack_stream2 checks total slots < 2^24).  The [1, 128]
+    # result rows store straight into the plane-layout outputs at
+    # dynamic SUBLANE offset c (dynamic sublane indexing is legal;
+    # dynamic LANE indexing is not — which is what forced the old
+    # rays-in-sublanes orientation through a [128, 128] iota-select
+    # carry).  Row-acc mode arrives pre-reduced: the fold is two plane
+    # copies.
+    if STREAM_ACC == "row":
+        out_t[:, :] = acc_t[:, :]
+        out_code[:, :] = acc_c[:, :]
+    else:
+        def fold_chunk(c, _):
+            t_c = acc_t[c]                                 # [cols, 128]
+            t_red = jnp.min(t_c, axis=0, keepdims=True)    # [1, 128]
+            is_best = (t_c == jnp.broadcast_to(t_red, t_c.shape)) \
+                & (acc_c[c] >= 0.0)
+            code = jnp.max(
+                jnp.where(is_best, acc_c[c], -1.0),
+                axis=0, keepdims=True,
+            )
+            out_t[pl.ds(c, 1), :] = t_red
+            out_code[pl.ds(c, 1), :] = code
+            return 0
 
-    def fold_chunk(c, _):
-        t_c = acc_t[c]                                     # [cols, 128]
-        t_red = jnp.min(t_c, axis=0, keepdims=True)        # [1, 128]
-        is_best = (t_c == jnp.broadcast_to(t_red, t_c.shape)) \
-            & (acc_c[c] >= 0.0)
-        code = jnp.max(
-            jnp.where(is_best, acc_c[c] * cols + srow, -1.0),
-            axis=0, keepdims=True,
-        )
-        out_t[pl.ds(c, 1), :] = t_red
-        out_code[pl.ds(c, 1), :] = code
-        return 0
-
-    jax.lax.fori_loop(0, NCHUNK, fold_chunk, 0)
+        jax.lax.fori_loop(0, NCHUNK, fold_chunk, 0)
     if STREAM_DIAG == "count":
         # drain count == final qhead (incremented once per drain);
         # corrupts ray row 0 of the packet — diag only.
@@ -659,8 +714,13 @@ def _traverse_blocks(nodebox, childs, leafblocks, rayfeat, planes,
         scratch_shapes=[
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
             pltpu.SMEM((NBUF, NMASKW + 2), jnp.int32),     # bits + lo/hi
-            pltpu.VMEM((NCHUNK, cols, LANES), jnp.float32),
-            pltpu.VMEM((NCHUNK, cols, LANES), jnp.float32),
+            pltpu.SMEM((NBUF,), jnp.int32),                # slot fat ids
+            (pltpu.VMEM((NCHUNK, LANES), jnp.float32)
+             if STREAM_ACC == "row" else
+             pltpu.VMEM((NCHUNK, cols, LANES), jnp.float32)),
+            (pltpu.VMEM((NCHUNK, LANES), jnp.float32)
+             if STREAM_ACC == "row" else
+             pltpu.VMEM((NCHUNK, cols, LANES), jnp.float32)),
             pltpu.VMEM((NBUF, KDIM, GROUPS * cols), jnp.bfloat16),
             pltpu.VMEM((KDIM, GROUPS * cols), jnp.bfloat16),   # stage
             pltpu.VMEM((RAY_ROWS, LANES), jnp.float32),    # occlusion plane
@@ -947,7 +1007,11 @@ def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
     nrm = np.cross(e1, e2)
 
     # feature rows (see module docstring); empty slots are all-zero ->
-    # a = 0 -> u, v, t = NaN -> masked by the comparisons
+    # a = 0 -> u, v, t = NaN -> masked by the comparisons.  The fat-block
+    # id does NOT ride the matmul (round-4 carried it as a 5th product
+    # group; it is a per-block scalar, so the kernel reads it from the
+    # qleaf SMEM table written at enqueue) — slot codes are
+    # fat_id * cols + row in exact f32, hence the 2^24 slot cap.
     blocks = np.zeros((n_fat, FEAT, GROUPS * cols), dtype=np.float32)
     blocks[:, 0:3, 0 * cols:1 * cols] = -np.transpose(nrm, (0, 2, 1))
     blocks[:, 0:3, 1 * cols:2 * cols] = np.transpose(
@@ -958,14 +1022,9 @@ def pack_stream2(bvh, soup, leaf=None, blocks_per_leaf=1):
     blocks[:, 3:6, 2 * cols:3 * cols] = -np.transpose(e1, (0, 2, 1))
     blocks[:, 6:9, 3 * cols:4 * cols] = np.transpose(nrm, (0, 2, 1))
     blocks[:, 9, 3 * cols:4 * cols] = -np.sum(v0s * nrm, axis=2)
-    # group 4 row 9 (times the ray's constant-1 feature) carries the
-    # fat-BLOCK id — small enough (< 2^16) to survive a 3-pass bf16
-    # matmul exactly; the kernel fold rebuilds slot = fat_id*cols + lane
-    if n_fat >= (1 << 16):
-        raise ValueError("stream2: > 2^16 fat blocks; raise blocks_per_leaf")
-    fat_idv = np.broadcast_to(
-        np.arange(n_fat, dtype=np.float32)[:, None], (n_fat, cols))
-    blocks[:, 9, 4 * cols:5 * cols] = np.where(filled, fat_idv, -1.0)
+    if n_fat * cols >= (1 << 24):
+        raise ValueError("stream2: > 2^24 fat-leaf slots; raise "
+                         "blocks_per_leaf")
 
     # K-MAJOR [n_fat, KDIM, G*cols]: K lives in SUBLANES (the FEAT-row
     # axis the features were built on — no transpose needed), triangles

@@ -163,10 +163,14 @@ def main():
             fn1 = jax.jit(lambda o, d, pk: ts1.intersect_stream(
                 o, d, pk, sort=True))
             measure("stream1_200k", fn1, p1, ga)
-        skip = ts2.STREAM_SKIP  # env-driven word/span A/B rows
-        for agg, tag in ((False, f"stream2_200k_{skip}"),
-                         (True, "stream2_agg2"),
-                         (4, "stream2_agg4")):
+        # env-driven skip/acc A/B rows; agg rows only on request (round-4
+        # and -5 both measured agg neutral)
+        variant = f"{ts2.STREAM_SKIP}_{ts2.STREAM_ACC}"
+        rows = [(False, f"stream2_200k_{variant}")]
+        if os.environ.get("MATRIX_AGG") == "1":
+            rows += [(True, f"stream2_agg2_{variant}"),
+                     (4, f"stream2_agg4_{variant}")]
+        for agg, tag in rows:
             fn2 = jax.jit(lambda o, d, pk, agg=agg: ts2.intersect_stream2(
                 o, d, pk, sort=True, agg=agg))
             measure(tag, fn2, p2, ga)
@@ -198,21 +202,24 @@ def main():
         from clive2_tpu.ops import traverse_stream2 as ts2
 
         diag = os.environ.get("CLIVE2_PALLAS_DIAG", "")
-        soup = cluster_scene(47_000, seed=3)
+        n_tris = int(os.environ.get("MATRIX_TRIS", 47_000))
+        soup = cluster_scene(n_tris, seed=3)
         bvh = build_bvh(soup)
         ga = None if diag else ga_pack(bvh, soup)
         packed = {k: jnp.asarray(v)
                   for k, v in tp2.pack_bvh2(bvh, soup).items()}
         fn = jax.jit(lambda o, d, pk: tp2.intersect_pallas2(
             o, d, pk, sort=True))
-        measure(f"pallas2_47k{'_' + diag if diag else ''}",
+        measure(f"pallas2_{n_tris // 1000}k_{tp2.PALLAS_LEAF}"
+                f"_r{tp2.RAY_ROWS}{'_' + diag if diag else ''}",
                 fn, packed, ga)
-        if not diag:
+        if not diag and os.environ.get("MATRIX_NOSTREAM") != "1":
             p2 = {k: jnp.asarray(v)
                   for k, v in ts2.pack_stream2(bvh, soup).items()}
             fn2 = jax.jit(lambda o, d, pk: ts2.intersect_stream2(
                 o, d, pk, sort=True))
-            measure(f"stream2_47k_{ts2.STREAM_SKIP}", fn2, p2, ga)
+            measure(f"stream2_{n_tris // 1000}k_{ts2.STREAM_SKIP}"
+                    f"_{ts2.STREAM_ACC}", fn2, p2, ga)
 
     elif SECTION == "sponza":
         from clive2_tpu.load import load_ply

@@ -955,3 +955,40 @@ def test_rayfeat_residual_split_survives_jit():
     rec = r1 + r2 + r3
     err = np.abs(rec - feat) / np.maximum(np.abs(feat), 1e-6)
     assert err.max() < 1e-5, f"bf16x3 reconstruction error {err.max():.2e}"
+
+
+@pytest.mark.slow  # interpret-mode kernel oracle, minutes-scale
+class TestPallas2GatedLeafRows:
+    """leaf_mode="rows" (CLIVE2_PALLAS_LEAF): the gated leaf phase must
+    be result-identical to the all-rows phase — only ray rows whose
+    box-hit mask is non-empty run the MT (for_set_bits over 16-row mask
+    words; the traced row index re-reads the mask from VMEM scratch).
+    Scales trimmed: a while-loop per leaf visit makes interpret mode
+    much slower than the static all-rows loop."""
+
+    def _case(self, rng, t=120, n=300):
+        soup = _random_soup(rng, t)
+        bvh = build_bvh(soup)
+        packed = {k: jnp.asarray(v) for k, v in
+                  tp2.pack_bvh2(bvh, soup).items()}
+        ga = {k: jnp.asarray(v) for k, v in
+              pack_gather_walk(bvh, leaf_tables(bvh, soup)).items()}
+        o, d = _random_rays(rng, n)
+        return packed, ga, o, d
+
+    def test_matches_gather_walk(self, rng):
+        packed, ga, o, d = self._case(rng)
+        with pltpu.force_tpu_interpret_mode():
+            got = tp2.intersect_pallas2(o, d, packed, leaf_mode="rows")
+        want = intersect_bvh_packed(o, d, ga)
+        _assert_hits_equal(got, want, "pallas2 rows-gated leaf")
+
+    def test_any_hit_blocked_set(self, rng):
+        packed, ga, o, d = self._case(rng)
+        t_max = jnp.full((o.shape[0],), 2.0)
+        with pltpu.force_tpu_interpret_mode():
+            ai = tp2.intersect_pallas2(o, d, packed, any_hit=True,
+                                       t_max=t_max, leaf_mode="rows")[0]
+        wt = intersect_bvh_packed(o, d, ga)[1]
+        assert ((np.asarray(ai) >= 0)
+                == (np.asarray(wt) < 2.0)).all()
