@@ -37,11 +37,27 @@ import os
 
 SUBLANES = 8
 LANES = 128
+
+
+def _tuned(key, default):
+    from ..utils.tuned import tuned_default
+
+    return tuned_default(key, default)
+
+
 # ray rows per packet (packet = RAY_ROWS * 128 rays).  The while-loop
 # iteration cost is dominated by the serial scalar/reduce latency chain,
 # NOT vector throughput — so taller packets amortize that fixed latency
 # over more rays as long as the union divergence stays acceptable.
-RAY_ROWS = int(os.environ.get("CLIVE2_PACKET_ROWS", 8))
+# Default 16 since the round-5 hardware A/B: with the gated ("rows")
+# leaf phase, r16 beat r8 in BOTH microbench regimes (12.17/1.11 vs
+# 10.52/0.89 Mrays/s at 47k) and in production (dragon 4.11 vs 3.75,
+# teapots 8.60 vs 7.67 — docs/bench_r05_ab.log); r32/r64 lose the
+# gains back to union divergence.  (The round-4 r16/r32 LOSS was
+# measured under the all-rows leaf phase, where taller packets
+# multiply dead leaf work — the gating is what flips the sign.)
+RAY_ROWS = int(os.environ.get("CLIVE2_PACKET_ROWS")
+               or _tuned("pallas_rows", "16"))
 assert RAY_ROWS % 8 == 0, "CLIVE2_PACKET_ROWS must be a multiple of 8 " \
     "(packets are [8,128]-tile multiples)"
 BLOCK_RAYS = RAY_ROWS * LANES
@@ -70,15 +86,11 @@ PALLAS_DIAG = os.environ.get("CLIVE2_PALLAS_DIAG", "")
 # bit words and only the set bits run — dead rows cost zero iterations
 # (for_set_bits).  Gating per ROW, not per (group, visit) lax.cond,
 # dodges the round-4 anti-pattern: the round-3 per-group gate paid a
-# scalar branch on every group including dead ones.
-def _leaf_mode():
-    from ..utils.tuned import tuned_default
-
-    return (os.environ.get("CLIVE2_PALLAS_LEAF")
-            or tuned_default("pallas_leaf", "all"))
-
-
-PALLAS_LEAF = _leaf_mode()
+# scalar branch on every group including dead ones.  Default "rows"
+# since the round-5 production A/B (with r16 packets: dragon-47k 4.11
+# vs 3.75, teapots 8.60 vs 7.67 Mrays/s, docs/bench_r05_ab.log).
+PALLAS_LEAF = (os.environ.get("CLIVE2_PALLAS_LEAF")
+               or _tuned("pallas_leaf", "rows"))
 
 # max packets per pallas_call: one kernel launch must stay well under the
 # TPU per-launch watchdog (see traverse_stream.MAX_BLOCKS_PER_CALL for the
