@@ -150,7 +150,8 @@ def _maybe_aot(jitted, example_args, salt):
 
 
 def bench_render(preset, width, height, samples, metric, baseline=None,
-                 chunk_rows=None, max_stripes=None, deadline=None):
+                 chunk_rows=None, max_stripes=None, deadline=None,
+                 flight=2):
     """Render ``samples`` full frames (or, chunked, up to ``max_stripes``
     row stripes per sample) and report sustained Mrays/s.  ``deadline``
     (time.monotonic value) stops measurement early but still reports —
@@ -230,13 +231,18 @@ def bench_render(preset, width, height, samples, metric, baseline=None,
             rec["phases"] = ph.durations
         return rec
 
-    # measured loop: flight-of-2 pipeline (overlaps ~25 ms dispatch RTT
-    # with compute), no per-sample readbacks, deadline checked on each
-    # completion, provisional row after the first sample then every 15 s
+    # measured loop: flight-of-N pipeline (overlaps the ~25 ms dispatch
+    # RTT with compute), no per-sample readbacks, deadline checked on
+    # each completion, provisional row after the first sample then every
+    # 15 s.  ``flight`` is 2 by default; short-sample configs (cornell,
+    # canary: ~26 ms compute < RTT) need 4 — the round-4 "cornell_256
+    # regression" was mostly this: flight-1 measures 58 Mrays/s,
+    # flight-2 96-100, flight-4/8 saturate at ~101 on identical kernels
+    # (scripts/diag_cornell.py, docs/r5_chip_queue.log).
     t0 = time.perf_counter()
     nrays_dev = []
     done = 0
-    prev = None
+    pending = []
     last_prov = 0.0
 
     def complete(o):
@@ -249,17 +255,18 @@ def bench_render(preset, width, height, samples, metric, baseline=None,
             print(json.dumps(row(rays_per_sample * done / el / 1e6, done,
                                  el, provisional=True)), flush=True)
 
+    stop = False
     for i in range(1, samples + 1):
         o = step(key, i, scene.data)
         nrays_dev.append(o["n_rays"])
-        if prev is not None:
-            complete(prev)
+        pending.append(o)
+        if len(pending) >= flight:
+            complete(pending.pop(0))
             if deadline is not None and time.monotonic() > deadline:
-                prev = o
+                stop = True
                 break
-        prev = o
-    if prev is not None:
-        complete(prev)
+    for o in pending if not stop else pending[:0]:
+        complete(o)
     dt = time.perf_counter() - t0
     ph.mark("measure")
 
@@ -344,7 +351,7 @@ def run_config(cfg: str):
         # smallest real-mesh render: if THIS can't do 2 spp inside a
         # minute, every later mesh row inherits the diagnosis
         bench_render("teapots", 64, 64, 2, "canary_teapots_64x64",
-                     deadline=deadline)
+                     deadline=deadline, flight=4)
     elif cfg == "headline":
         width = int(os.environ.get("BENCH_WIDTH", 1920))
         height = int(os.environ.get("BENCH_HEIGHT", 1080))
@@ -355,8 +362,11 @@ def run_config(cfg: str):
                      baseline=100.0,              # north star Mrays/s/chip
                      deadline=deadline)
     elif cfg == "cornell_256":
-        bench_render("empty", 256, 256, 16, "cornell_256x256",
-                     deadline=deadline)
+        # 32 samples at flight-4: ~26 ms/sample compute is under the
+        # ~25 ms dispatch RTT, so shallow pipelines measure the link,
+        # not the chip (round-4's 87.7 "regression" — see diag_cornell)
+        bench_render("empty", 256, 256, 32, "cornell_256x256",
+                     deadline=deadline, flight=4)
     elif cfg == "teapots_512":
         # no vs_baseline: round 2's 22.66 was measured on the 2,500-tri
         # procedural stand-in scene; round 3 renders the exact 6,320-tri

@@ -61,6 +61,12 @@ from .trace import _sort_knob
 
 CONNECT_SORT = _sort_knob("CLIVE2_CONNECT_SORT")
 
+# Compacted connection cast: gather each pixel's first K active (t, s)
+# strategies into a dense [K, N] dispatch instead of the strategy-major
+# [P, N] mega-batch (P ~ 36-41 but only ~1 strategy/pixel is active on
+# the eval scenes).  0 disables (full mega-batch).  See stage A below.
+CONNECT_K = int(os.environ.get("CLIVE2_CONNECT_K", "4"))
+
 
 def _take_d(tree, d):
     """Index vertex d (possibly traced) out of [D, N, ...] path arrays."""
@@ -187,13 +193,65 @@ def connect_paths(cam_path, light_path, scene, width: int, height: int,
 
     p_cnt = len(pairs)
     flat = lambda a: a.reshape((p_cnt * n,) + a.shape[2:])
-    hit_i, hit_t, _, _ = intersect_scene(
-        flat(lv_o), flat(direction), scene, active=flat(active),
-        sort=CONNECT_SORT if sort is None else sort,
-        t_max=flat(t_max), any_hit=any_hit,
-    )
-    cast_tri = hit_i.reshape(p_cnt, n)
-    cast_t = hit_t.reshape(p_cnt, n)
+    cast_sort = CONNECT_SORT if sort is None else sort
+    if 0 < CONNECT_K < p_cnt:
+        # ---- compacted cast (round-5): the [P, N] mega-batch averages
+        # only ~1 active strategy per pixel on the eval scenes (medium
+        # dragon: 0.28M active of 10.7M dispatched lanes, 2.6% — the
+        # profile's 1000 ms cast wall walks 97% dead lanes interleaved
+        # through every packet).  Gather each pixel's FIRST K active
+        # pairs into a [K, N] cast (density ~= count/K), scatter results
+        # back by pair id, and run the rare >K overflow through the full
+        # mega-batch under a lax.cond that skips the walk entirely when
+        # no pixel overflows.  Per-ray results are identical: the same
+        # (origin, direction, t_max) rays are cast either way.
+        K = CONNECT_K
+        act_i = active.astype(jnp.int32)                   # [P, N]
+        rank = jnp.cumsum(act_i, axis=0) - act_i           # [P, N]
+        score = jnp.where(
+            active, p_cnt - jnp.arange(p_cnt, dtype=jnp.int32)[:, None], 0)
+        vals, idxs = jax.lax.top_k(score.T, K)             # [N, K]
+        sel = idxs.T                                       # [K, N] pair ids
+        act_k = (vals > 0).T                               # [K, N]
+        o_k = jnp.take_along_axis(lv_o, sel[..., None], axis=0)
+        d_k = jnp.take_along_axis(direction, sel[..., None], axis=0)
+        tm_k = jnp.take_along_axis(t_max, sel, axis=0)
+        flatk = lambda a: a.reshape((K * n,) + a.shape[2:])
+        hi_k, ht_k, _, _ = intersect_scene(
+            flatk(o_k), flatk(d_k), scene, active=flatk(act_k),
+            sort=cast_sort, t_max=flatk(tm_k), any_hit=any_hit,
+        )
+        pix = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                               (K, n))
+        row = jnp.where(act_k, sel, p_cnt)                 # dead -> dropped
+        cast_tri = jnp.full((p_cnt, n), -1, jnp.int32).at[
+            row, pix].set(hi_k.reshape(K, n), mode="drop")
+        cast_t = jnp.full((p_cnt, n), jnp.inf, jnp.float32).at[
+            row, pix].set(ht_k.reshape(K, n), mode="drop")
+
+        rem = active & (rank >= K)
+
+        def _run_rem(_):
+            hi_r, ht_r, _, _ = intersect_scene(
+                flat(lv_o), flat(direction), scene, active=flat(rem),
+                sort=cast_sort, t_max=flat(t_max), any_hit=any_hit,
+            )
+            return hi_r.reshape(p_cnt, n), ht_r.reshape(p_cnt, n)
+
+        def _skip_rem(_):
+            return (jnp.full((p_cnt, n), -1, jnp.int32),
+                    jnp.full((p_cnt, n), jnp.inf, jnp.float32))
+
+        hi_r, ht_r = jax.lax.cond(jnp.any(rem), _run_rem, _skip_rem, None)
+        cast_tri = jnp.where(rem, hi_r, cast_tri)
+        cast_t = jnp.where(rem, ht_r, cast_t)
+    else:
+        hit_i, hit_t, _, _ = intersect_scene(
+            flat(lv_o), flat(direction), scene, active=flat(active),
+            sort=cast_sort, t_max=flat(t_max), any_hit=any_hit,
+        )
+        cast_tri = hit_i.reshape(p_cnt, n)
+        cast_t = hit_t.reshape(p_cnt, n)
     cast_active = active
     pair_index = {ts: i for i, ts in enumerate(pairs)}
 
