@@ -38,6 +38,16 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 W, H, SPP = 1280, 720, 15
 
 
+def _write_png(raw, path):
+    """camera.tone_map already returns uint8 BGR 0-255 — write it
+    directly (flipped to RGB)."""
+    from clive2_tpu.camera import tone_map
+    from PIL import Image
+
+    img = np.asarray(tone_map(raw))          # uint8 BGR
+    Image.fromarray(img[..., ::-1]).save(path)
+
+
 def render():
     import jax
 
@@ -55,14 +65,9 @@ def render():
     jax.block_until_ready(r.state)
     dt = time.perf_counter() - t0
     raw = np.asarray(r.raw_image)
-    img = np.asarray(tone_map(r.raw_image))
     os.makedirs(OUT, exist_ok=True)
     np.save(os.path.join(OUT, f"parity_{tag}_raw.npy"), raw)
-    from PIL import Image
-
-    # internal order is BGR (reference parity) -> flip for PNG
-    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)[..., ::-1]
-                    ).save(os.path.join(OUT, f"parity_{tag}.png"))
+    _write_png(raw, os.path.join(OUT, f"parity_{tag}.png"))
     print(json.dumps({
         "row": f"parity_{tag}", "w": W, "h": H, "spp": SPP,
         "seconds": round(dt, 1),
@@ -74,10 +79,13 @@ def render():
 def report():
     a = np.load(os.path.join(OUT, "parity_production_raw.npy"))
     b = np.load(os.path.join(OUT, "parity_refmis_raw.npy"))
-    from clive2_tpu.camera import basic_tone_map
 
-    ta = np.asarray(basic_tone_map(a))
-    tb = np.asarray(basic_tone_map(b))
+    # float gamma map in [0, 1] (sqrt = the reference's 0.5 gamma),
+    # avoiding basic_tone_map's uint8 quantization and 0/0 at black
+    def tm(x):
+        return np.sqrt(np.clip(x, 0.0, 1.0))
+
+    ta, tb = tm(a), tm(b)
     rec = {"row": "parity_report", "spp": SPP,
            "rmse_tonemapped": float(np.sqrt(np.mean((ta - tb) ** 2))),
            "mae_tonemapped": float(np.abs(ta - tb).mean())}
