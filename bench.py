@@ -365,7 +365,7 @@ def run_config(cfg: str):
         # 32 samples at flight-4: ~26 ms/sample compute is under the
         # ~25 ms dispatch RTT, so shallow pipelines measure the link,
         # not the chip (round-4's 87.7 "regression" — see diag_cornell)
-        bench_render("empty", 256, 256, 32, "cornell_256x256",
+        bench_render("empty", 256, 256, 64, "cornell_256x256",
                      deadline=deadline, flight=4)
     elif cfg == "teapots_512":
         # no vs_baseline: round 2's 22.66 was measured on the 2,500-tri

@@ -64,8 +64,15 @@ CONNECT_SORT = _sort_knob("CLIVE2_CONNECT_SORT")
 # Compacted connection cast: gather each pixel's first K active (t, s)
 # strategies into a dense [K, N] dispatch instead of the strategy-major
 # [P, N] mega-batch (P ~ 36-41 but only ~1 strategy/pixel is active on
-# the eval scenes).  0 disables (full mega-batch).  See stage A below.
-CONNECT_K = int(os.environ.get("CLIVE2_CONNECT_K", "4"))
+# the eval scenes).  0 disables (full mega-batch).  MEASURED
+# NEUTRAL-TO-NEGATIVE at K=4 on hardware (2026-08-20,
+# docs/r5_chip_queue2.log vs docs/bench_r05_ab.log: teapots 8.16 vs
+# 8.60, dragon 4.00 vs 4.11, medium 1.13 vs 1.09, big 0.99 vs 1.06):
+# dead lanes were never the cast's cost — the packet kernels' unions
+# already skip them — and slot-major compaction MIXES strategies
+# inside packets, degrading the union.  Default off; kept as the A/B
+# knob that documents the negative result.
+CONNECT_K = int(os.environ.get("CLIVE2_CONNECT_K", "0"))
 
 
 def _take_d(tree, d):

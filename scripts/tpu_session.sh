@@ -43,39 +43,33 @@ step 180 python scripts/link_probe.py
 # hardware numbers in the log and warm compile caches for the driver
 BENCH_CONFIGS=cornell_256,dragon_512 step 420 python bench.py
 
-# Round-4 retirements (all DECIDED on hardware 2026-08-20, see
-# ROADMAP.md round-4 status + docs/kernel_matrix_r04*.log): the wide
-# gate/pop2/bits/compact sweeps (all neutral-or-worse), the stream2
-# ROWS/NBUF/OCC knob sweep (flat), drain aggregation (flat), shade_ab
-# (EP question closed: sorting recovers <=0.5% of sample time), the
-# pallas_vmem raise (a VMEM-resident wide kernel at 202k would run
-# 0.4 Mrays/s vs stream2's measured 1.18 — the flip would regress),
-# and the stream-impl A/B (stream2 is the code default now).
+# Decided-on-hardware retirements (rounds 4-5, see ROADMAP.md +
+# docs/kernel_matrix_r04*/r05*.log): wide-kernel variants (all
+# neutral-or-worse; the kernel itself is A/B-only now), stream2
+# ROWS/NBUF/OCC sweep (flat), drain aggregation (flat), shade_ab (EP
+# closed), stream-impl (stream2 default; stream1 fenced), wave-order
+# (morton everywhere it wins — code default), stream2 span-vs-word
+# (word won +7% inc), stream2 acc row-vs-full (full won), pallas2
+# leaf all-vs-rows and r8/16/32/64 (rows+r16 won production),
+# stream-on-mid-size (pallas2-rows 4.11 vs stream2 1.30 on dragon).
 
-# regression tracking of the streaming default: correctness vs oracle
-# + throughput for stream1/stream2 on the adversarial 200k scene and
-# the real sponza mesh (one JSON row per kernel x regime)
+# regression tracking of the production kernels: correctness vs oracle
+# + throughput rows (one JSON row per kernel x regime)
 step 1800 python scripts/kernel_matrix.py stream200
 step 1800 python scripts/kernel_matrix.py sponza
+step 1200 python scripts/kernel_matrix.py r5_47k
 
-# wave-order A/B (STILL OPEN on hardware): auto default is morton on
-# streaming scenes (static generation-time order, zero per-cast sort
-# glue — render.py _wave_order); this raster-pinned run vs the default
-# bench below decides whether the tuner must override the model-guided
-# default with hardware data
-CLIVE2_WAVE_ORDER=raster BENCH_CONFIGS=medium_dragon,big_dragon,sponza_1080p \
-  step 2400 python bench.py
-# mid-size scenes default raster; this morton-pinned run vs the default
-# bench decides whether the tuner flips wave_order_mid (the host model
-# says depth-0 morton is 3x fewer chunk-visits on the 47k dragon)
-CLIVE2_WAVE_ORDER=morton BENCH_CONFIGS=teapots_512,dragon_512 \
-  step 1800 python bench.py
+# connection-cast compaction depth (round-5 lever, CLIVE2_CONNECT_K):
+# default 4; A/B 2 and 8 on the cast-heavy mid scene decides a tuned
+# connect_k flip
+CLIVE2_CONNECT_K=2 BENCH_CONFIGS=dragon_512 step 700 python bench.py
+CLIVE2_CONNECT_K=8 BENCH_CONFIGS=dragon_512 step 700 python bench.py
 
-# stage-level wall breakdown on the two mid-size workhorses (round-4
-# data: dragon is 97% traversal-bound — trace 2.95 / casts 4.31
-# Mrays/s, MIS 63 ms; refresh each session to catch regressions)
-step 900 python scripts/profile_stages.py teapots 512 3
+# stage-level wall breakdown on a mid + big workhorse (round-5 data:
+# medium-dragon was trace 617 ms / casts 1000 ms / MIS+contrib 493 ms
+# before cast compaction; refresh each session to catch regressions)
 step 900 python scripts/profile_stages.py dragon 512 3
+step 1200 python scripts/profile_stages.py medium-dragon 512 3
 
 STEP_TAG=pretune step 2400 python bench.py
 
