@@ -66,8 +66,13 @@ MAX_LEAF = 8
 LEAF_COLS = 16  # v0(3) e1(3) e2(3) tri(1) pad(6)
 INF = float("inf")
 
-# stack entries popped per while-loop iteration (batched latency chains)
-QUAD = int(os.environ.get("CLIVE2_QUAD_POP", 4))
+# stack entries popped per while-loop iteration (batched latency chains).
+# Default 8 since the round-5 hardware A/B: with the gated leaf phase at
+# r16 the walk is a larger share of the kernel, and QUAD=8 measured
+# dragon-47k 4.37 vs 4.10 Mrays/s production (QUAD=16 flat at 4.32,
+# r24 packets lose — docs/r5_chip_queue4/5.log)
+QUAD = int(os.environ.get("CLIVE2_QUAD_POP")
+           or _tuned("pallas_quad", "8"))
 
 # measurement-only ablation (corrupts results; scripts/kernel_matrix.py):
 #   "noleaf"  pop + box-test + stack walk only, leaf_tests skipped —
