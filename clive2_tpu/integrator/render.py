@@ -181,8 +181,18 @@ def render_sample(key, scene, width: int, height: int,
             pixel_idx = _banded_take(pixel_idx, idx, bands)
             lord = jnp.argsort(lkey.reshape(bands, -1), axis=1)
             light_rays = _banded_take(light_rays, lord, bands)
-        # explicit CLIVE2_TRACE_SORT/CONNECT_SORT knobs still win
-        trace_sort = False if TRACE_SORT is None else None
+        # explicit CLIVE2_TRACE_SORT/CONNECT_SORT knobs still win.
+        # Extension casts RE-SORT per cast on streaming scenes even
+        # under the static morton order: glass refraction scrambles the
+        # inherited order by the mid bounces, and the round-5 hardware
+        # A/B measured CLIVE2_TRACE_SORT=1 at medium-dragon 1.16 vs
+        # 1.09 and sponza 0.95 vs 0.83-0.89 Mrays/s (big-dragon flat;
+        # docs/r5_chip_queue6.log).  Connection casts stay unsorted —
+        # CONNECT_SORT=1 measured 0.75 vs 1.13 on the same scene (the
+        # 36n-key argsort glue swamps any packet-coherence win).
+        streaming = ("stream" in scene) or ("stream2" in scene)
+        trace_sort = (None if streaming else False) \
+            if TRACE_SORT is None else None
         connect_sort = False if CONNECT_SORT is None else None
     else:
         trace_sort = connect_sort = None
