@@ -70,10 +70,10 @@ class TestMortonPerm:
         assert _wave_order(scene.data) == "raster"
         # streaming scenes: auto goes morton
         assert _wave_order({"stream": {}, "tri": {}}) == "morton"
-        # mid-size packet-kernel scenes: raster until hardware flips the
-        # tuned wave_order_mid key
-        assert _wave_order({"pallas": {}, "tri": {}}) == "raster"
-        assert _wave_order({"wide": {}, "tri": {}}) == "raster"
+        # mid-size packet-kernel scenes: morton since the round-4
+        # hardware A/B (dragon 3.75 vs 3.62; deployed round 5)
+        assert _wave_order({"pallas": {}, "tri": {}}) == "morton"
+        assert _wave_order({"wide": {}, "tri": {}}) == "morton"
         # sharded wavefronts follow the same policy (band-local variant)
         assert _wave_order({"stream": {}}, mesh=object()) == "morton"
         monkeypatch.setenv("CLIVE2_WAVE_ORDER", "morton")
