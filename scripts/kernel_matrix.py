@@ -206,13 +206,14 @@ def main():
         soup = cluster_scene(n_tris, seed=3)
         bvh = build_bvh(soup)
         ga = None if diag else ga_pack(bvh, soup)
-        packed = {k: jnp.asarray(v)
-                  for k, v in tp2.pack_bvh2(bvh, soup).items()}
-        fn = jax.jit(lambda o, d, pk: tp2.intersect_pallas2(
-            o, d, pk, sort=True))
-        measure(f"pallas2_{n_tris // 1000}k_{tp2.PALLAS_LEAF}"
-                f"_r{tp2.RAY_ROWS}{'_' + diag if diag else ''}",
-                fn, packed, ga)
+        if os.environ.get("MATRIX_NOPALLAS") != "1":
+            packed = {k: jnp.asarray(v)
+                      for k, v in tp2.pack_bvh2(bvh, soup).items()}
+            fn = jax.jit(lambda o, d, pk: tp2.intersect_pallas2(
+                o, d, pk, sort=True))
+            measure(f"pallas2_{n_tris // 1000}k_{tp2.PALLAS_LEAF}"
+                    f"_r{tp2.RAY_ROWS}{'_' + diag if diag else ''}",
+                    fn, packed, ga)
         if not diag and os.environ.get("MATRIX_NOSTREAM") != "1":
             p2 = {k: jnp.asarray(v)
                   for k, v in ts2.pack_stream2(bvh, soup).items()}
