@@ -345,3 +345,22 @@ def test_tuner_refuses_flips_on_degraded_link():
     assert tfs.decide(win_log) == {}
     healthy = win_log.replace("degraded-transfer", "healthy")
     assert tfs.decide(healthy).get("wide_gate") == "1"
+
+
+def test_round5_deployed_defaults():
+    """The round-5 hardware program deployed these defaults from
+    measured A/Bs (docs/round5_summary.md); an accidental knob
+    regression (env leak, tuned-file drift, refactor) should fail
+    loudly here, not silently re-run a measured loser."""
+    from clive2_tpu.ops import traverse_pallas2 as tp2
+    from clive2_tpu.ops import traverse_stream2 as ts2
+
+    assert tp2.PALLAS_LEAF == "rows"       # dragon 4.11 vs 3.75
+    assert tp2.RAY_ROWS == 16              # r16 beat r8/r24/r32/r64
+    assert tp2.QUAD == 8                   # 4.37 vs 4.10; 16 flat
+    assert ts2.STREAM_SKIP == "word"       # +7% inc at 200k vs span
+    assert ts2.STREAM_ACC == "full"        # row-acc lost 3.5-6.6%
+    assert ts2.GROUPS == 4                 # code group rides qleaf SMEM
+    from clive2_tpu.integrator.connect import CONNECT_K
+
+    assert CONNECT_K == 0                  # compaction measured negative
