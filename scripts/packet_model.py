@@ -43,12 +43,13 @@ def main():
     n_rays = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     rows = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     cap = int(sys.argv[4]) if len(sys.argv) > 4 else 48   # sampled packets
+    coherent = len(sys.argv) > 5 and sys.argv[5] == "coherent"
     R = rows * LANES
 
     soup = cluster_scene(n_tris, seed=3)
     bvh = build_bvh(soup)
     tables = leaf_tables(bvh, soup)
-    o, d = rays(n_rays, coherent=False)
+    o, d = rays(n_rays, coherent=coherent)
     key = morton_key(o, d, bvh.node_mins[0], bvh.node_maxes[0])
     order = np.argsort(key)
     o, d = o[order].astype(np.float64), d[order].astype(np.float64)
@@ -126,6 +127,7 @@ def main():
 
     n_sampled_rays = len(sel) * R
     print(f"packet_model: {n_tris} tris, rows={rows}, "
+          f"{'coherent' if coherent else 'incoherent'}, "
           f"{len(sel)} packets sampled ({n_sampled_rays} rays)")
     print(f"  node pops/packet:        {tot_pops / len(sel):10.0f}")
     print(f"  leaf visits/packet:      {tot_visits / len(sel):10.0f}")
